@@ -1,0 +1,204 @@
+"""Typed configuration tree.
+
+Mirrors the reference's three config layers (SURVEY.md §5.6) as frozen
+dataclasses: matching options of ``matchinglib::getCorrespondences``
+(reference: matchinglib_correspondences.h:61-78), the robust-estimation
+config ``ConfigUSAC`` (reference: poselib/pose_estim.h:94-132) and the
+streaming config ``ConfigPoseEstimation``
+(reference: stereo_pose_refinement.h:100-176).
+
+Everything is a static (hashable) Python value so configs can be closed over
+by jitted functions without becoming traced operands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class PoseEstimator(enum.Enum):
+    """Robust estimator menu (reference: pose_estim.h:61-66)."""
+
+    RANSAC = "RANSAC"
+    PROSAC = "PROSAC"  # USAC's PROSAC sampling; reference cfg USAC sampling=1
+    LMEDS = "LMEDS"
+    ARRSAC = "ARRSAC"
+    USAC = "USAC"
+
+
+class MinimalSolver(enum.Enum):
+    """Hypothesis solvers (reference: pose_estim.h:67-77 RefineAlg + USAC est.)."""
+
+    NISTER_5PT = "nister"
+    STEWENIUS_5PT = "stewenius"
+    EIGHT_PT = "8pt"
+    HOMOGRAPHY = "homography"
+
+
+class RefineWeights(enum.Enum):
+    """Weighting for linear refinement (reference: pose_estim.h:78-84)."""
+
+    SQUARED = "squared"  # plain least squares
+    TORR = "torr"
+    PSEUDO_HUBER = "pseudohuber"
+
+
+# Pixel inlier-threshold constants (reference: pose_estim.h:56-59).
+PIX_MIN_GOOD_TH = 0.8
+PIX_TH_START = 0.8
+MIN_PIX_TH = 0.25
+MAX_PIX_TH = 2.0
+
+# Lowe ratio used throughout the reference (ratioMatches_Flann.cpp:77).
+LOWE_RATIO = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Keypoint detection (reference: features.cpp:145-379,506-770).
+
+    ``max_keypoints`` plays the role of the reference's ``limitNrfeatures``
+    with grid-based response filtering (responseFilterGridBased,
+    features.cpp:506): we keep the strongest response per spatial grid cell.
+    """
+
+    kind: str = "FAST"  # FAST | HARRIS | ORB (FAST+Harris rank) | SHITOMASI
+    max_keypoints: int = 2048  # static array capacity; masked when fewer
+    fast_threshold: float = 20.0
+    grid_cells: int = 0  # 0 = auto from max_keypoints (adaptive like reference)
+    nms_radius: int = 3
+    pyramid_levels: int = 1
+    pyramid_scale: float = 1.25
+
+
+@dataclasses.dataclass(frozen=True)
+class DescriptorConfig:
+    """Descriptor extraction (reference: features.cpp:397-484,849-971)."""
+
+    kind: str = "ORB"  # ORB (256-bit binary) | SIFT (128-f32) | BOOST-like later
+    patch_size: int = 31
+    oriented: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    """Matcher + filters (reference: matchers.cpp:115-736, correspondences.cpp).
+
+    All ANN backends of the reference (FLANN/NMSLIB/ANNOY/CASHASH) map to the
+    exact tiled 2-NN engine — a documented behavioral substitution with
+    equal-or-better recall (SURVEY.md §7 stage 6). ``matcher_name`` is kept
+    for registry parity with the 20+ reference matcher names.
+    """
+
+    matcher_name: str = "GMBSOF"
+    ratio_test: bool = True
+    ratio: float = LOWE_RATIO
+    cross_check: bool = True
+    # GMS filter (reference: gms.cpp:54-84)
+    gms_filter: bool = False
+    gms_grid: int = 20
+    gms_threshold_factor: float = 6.0
+    # SOF statistical-flow filter / guided matching (match_statOptFlow.cpp)
+    sof_filter: bool = False
+    sof_grid_px: int = 100
+    sof_validation_th: float = 0.3
+    # VFC filter (vfc.cpp)
+    vfc_filter: bool = False
+    # subpixel refinement (matchers.cpp:1085-1398)
+    subpix_refine: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustConfig:
+    """Batched robust estimation engine (replaces RANSAC/ARRSAC/USAC/LMEDS).
+
+    Reference semantics: USAC.h:336-520 hypothesis loop, ConfigUSAC
+    (pose_estim.h:94-132). SPRT point-wise early exit is replaced by dense
+    batch scoring; adaptive stopping happens between hypothesis *batches*
+    inside a ``lax.while_loop`` (SURVEY.md §7 stage 3).
+    """
+
+    estimator: PoseEstimator = PoseEstimator.USAC
+    solver: MinimalSolver = MinimalSolver.NISTER_5PT
+    threshold_px: float = PIX_TH_START  # pixel threshold; divided by focal
+    confidence: float = 0.99
+    batch_hypotheses: int = 512  # hypotheses solved+scored per device step
+    max_batches: int = 8  # upper bound for the while_loop
+    prosac: bool = True  # quality-sorted sampling growth
+    lo_refine: bool = True  # LOSAC-style inner refinement of the best model
+    lo_inner_iterations: int = 4
+    # degeneracy families scored alongside E (pose_estim.cpp:1983-2130):
+    check_degeneracy: bool = True
+    degen_decision_ratio: float = 0.85  # fraction of E-inliers explained
+    # threshold inflation on zero inliers (USAC.h:355-364)
+    inflate_th_on_failure: bool = True
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinementConfig:
+    """Linear IRLS refinement (reference: pose_linear_refinement.cpp:85-640)."""
+
+    enabled: bool = True
+    solver: MinimalSolver = MinimalSolver.EIGHT_PT
+    weights: RefineWeights = RefineWeights.PSEUDO_HUBER
+    iterations: int = 10
+    th_multiplier: float = 2.0  # start threshold = m * th
+    inlier_loss_guard: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (reference: BA_driver.h:69-113, pose_estim.cpp:1083)."""
+
+    enabled: bool = False
+    iterations: int = 20
+    robust: bool = True  # pseudo-Huber cost
+    huber_delta: float = 1.0
+    fix_intrinsics: bool = True
+    # post-BA restore guards (pose_estim.h:239-240)
+    angle_thresh_deg: float = 1.25
+    t_norm_thresh: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseConfig:
+    """Single-pair pose estimation pipeline config."""
+
+    robust: RobustConfig = RobustConfig()
+    refine: RefinementConfig = RefinementConfig()
+    ba: BAConfig = BAConfig()
+    auto_th: bool = False  # AutoThEpi adaptation (pose_estim.cpp:82-300)
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoRefineConfig:
+    """Continuous stereo refinement (reference: stereo_pose_refinement.h:100-176).
+
+    Field-for-field mirror of ``ConfigPoseEstimation`` where meaningful on
+    TPU; the correspondence pool is a fixed-capacity SoA array.
+    """
+
+    # pool
+    max_pool_correspondences: int = 30000  # :129
+    min_pts_distance: float = 3.0  # :128 spatial dedup radius
+    # robust-estimation cadence on the pool
+    check_pool_pose_robust: int = 3  # :130 (exponential backoff applied)
+    # start / skip / reinit thresholds (:117-127)
+    min_start_agg_inl_rat: float = 0.2
+    rel_inl_rat_th_last: float = 0.35
+    rel_inl_rat_th_new: float = 0.2
+    min_inlier_rat_skip: float = 0.38
+    rel_min_inlier_rat_skip: float = 0.7
+    max_skip_pairs: int = 5
+    min_inlier_ratio_reinit: float = 0.67
+    min_normal_distribution: float = 0.05
+    # stability detection (:126-131)
+    min_cont_stable_poses: int = 3
+    abs_thresh_diff: float = 0.5
+    max_rat_frame_to_frame: float = 0.1
+    # misc
+    use_ransac_few_matches: bool = False
+    verbose: int = 0
+    pose: PoseConfig = PoseConfig()

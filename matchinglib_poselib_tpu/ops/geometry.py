@@ -1,0 +1,500 @@
+"""Core epipolar / camera geometry kernels.
+
+TPU-native equivalents of the reference's helper layer
+(poselib/source/pose_helper.cpp — SURVEY.md P12/P13/P6-math):
+
+- Sampson error               (pose_helper.cpp:115 SampsonL1)
+- closest-E SVD projection    (pose_helper.cpp:152 getClosestE)
+- E validity check            (pose_helper.cpp:196 validateEssential)
+- robust statistics           (pose_helper.cpp:358 getStatsfromVec)
+- R <-> quaternion            (pose_helper.cpp:814-1097)
+- rotation angles             (pose_helper.cpp:676 getAnglesRotMat)
+- E = [t]x R                  (pose_helper.cpp:785 getEfromRT)
+- image <-> camera coords     (pose_helper.cpp:1100-1168)
+- Oulu-model undistortion     (pose_helper.cpp:1169,1241 LensDist_Oulu)
+- pose comparison             (pose_helper.cpp:1296 compareRTs)
+- triangulation + cheirality  (five-point-nister/five-point.cpp:150-250
+                               recoverPose / decomposeEssentialMat)
+
+Design: every function is pure jnp over arrays whose leading dimensions are
+arbitrary batch dims ("..."), so the same code serves one pair, a hypothesis
+batch, or a sharded pair batch. No data-dependent shapes; variable-length
+point sets carry a boolean/float mask. Float32 throughout (TPU-native);
+accumulation-sensitive reductions are explicitly f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# basic linear algebra helpers
+# ---------------------------------------------------------------------------
+
+
+def skew(t: jax.Array) -> jax.Array:
+    """Cross-product matrix [t]x for t of shape (..., 3) -> (..., 3, 3)."""
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    z = jnp.zeros_like(tx)
+    return jnp.stack(
+        [
+            jnp.stack([z, -tz, ty], axis=-1),
+            jnp.stack([tz, z, -tx], axis=-1),
+            jnp.stack([-ty, tx, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def essential_from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
+    """E = [t]x R (reference: pose_helper.cpp:785 getEfromRT)."""
+    return skew(t) @ R
+
+
+def normalize_vec(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+# ---------------------------------------------------------------------------
+# homogeneous / camera coordinate transforms
+# ---------------------------------------------------------------------------
+
+
+def to_homogeneous(x: jax.Array) -> jax.Array:
+    """(..., N, 2) -> (..., N, 3) with trailing ones."""
+    return jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+
+
+def img_to_cam(pts: jax.Array, K: jax.Array) -> jax.Array:
+    """Pixel -> normalized camera coords (pose_helper.cpp:1100 ImgToCamCoordTrans).
+
+    pts: (..., N, 2) pixels; K: (..., 3, 3). Returns (..., N, 2).
+    """
+    fx = K[..., 0, 0][..., None]
+    fy = K[..., 1, 1][..., None]
+    s = K[..., 0, 1][..., None]
+    cx = K[..., 0, 2][..., None]
+    cy = K[..., 1, 2][..., None]
+    y = (pts[..., 1] - cy) / fy
+    x = (pts[..., 0] - cx - s * y) / fx
+    return jnp.stack([x, y], axis=-1)
+
+
+def cam_to_img(pts: jax.Array, K: jax.Array) -> jax.Array:
+    """Normalized camera -> pixel coords (pose_helper.cpp:1134 CamToImgCoordTrans)."""
+    fx = K[..., 0, 0][..., None]
+    fy = K[..., 1, 1][..., None]
+    s = K[..., 0, 1][..., None]
+    cx = K[..., 0, 2][..., None]
+    cy = K[..., 1, 2][..., None]
+    x = fx * pts[..., 0] + s * pts[..., 1] + cx
+    y = fy * pts[..., 1] + cy
+    return jnp.stack([x, y], axis=-1)
+
+
+def undistort_oulu(
+    pts: jax.Array, dist: jax.Array, iterations: int = 20
+) -> jax.Array:
+    """Iterative Oulu-model undistortion of normalized coords.
+
+    Reference: pose_helper.cpp:1169 Remove_LensDist -> :1241 LensDist_Oulu
+    (fixed-point iteration; the reference iterates to tolerance, we use a
+    fixed iteration count — TPU-static control flow).
+
+    pts: (..., N, 2) normalized (distorted) coords.
+    dist: (..., 5) [k1, k2, p1, p2, k3].
+    """
+    k1 = dist[..., 0][..., None]
+    k2 = dist[..., 1][..., None]
+    p1 = dist[..., 2][..., None]
+    p2 = dist[..., 3][..., None]
+    k3 = dist[..., 4][..., None]
+
+    def body(_, xy):
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        xu = (pts[..., 0] - dx) / radial
+        yu = (pts[..., 1] - dy) / radial
+        return jnp.stack([xu, yu], axis=-1)
+
+    return jax.lax.fori_loop(0, iterations, body, pts)
+
+
+def distort_oulu(pts: jax.Array, dist: jax.Array) -> jax.Array:
+    """Forward Oulu/Brown distortion of normalized coords (inverse of above)."""
+    k1 = dist[..., 0][..., None]
+    k2 = dist[..., 1][..., None]
+    p1 = dist[..., 2][..., None]
+    p2 = dist[..., 3][..., None]
+    k3 = dist[..., 4][..., None]
+    x, y = pts[..., 0], pts[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1[..., 0] + r2 * (k2[..., 0] + r2 * k3[..., 0]))
+    xd = x * radial + 2.0 * p1[..., 0] * x * y + p2[..., 0] * (r2 + 2.0 * x * x)
+    yd = y * radial + p1[..., 0] * (r2 + 2.0 * y * y) + 2.0 * p2[..., 0] * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# epipolar residuals
+# ---------------------------------------------------------------------------
+
+
+def epipolar_products(E: jax.Array, x1: jax.Array, x2: jax.Array):
+    """Shared terms: x2^T E x1, E x1, E^T x2.
+
+    E: (..., 3, 3); x1, x2: (..., N, 2) normalized camera coords.
+    Returns (num, Ex1, Etx2) with shapes (..., N), (..., N, 3), (..., N, 3).
+    """
+    h1 = to_homogeneous(x1)
+    h2 = to_homogeneous(x2)
+    Ex1 = h1 @ jnp.swapaxes(E, -1, -2)  # (..., N, 3) rows = E @ x1_i
+    Etx2 = h2 @ E  # rows = E^T @ x2_i
+    num = jnp.sum(h2 * Ex1, axis=-1)
+    return num, Ex1, Etx2
+
+
+def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Squared Sampson distance per correspondence (..., N).
+
+    Reference computes the L1 (signed, denominator-normalized) variant in
+    SampsonL1 (pose_helper.cpp:115) and squares it for thresholds
+    (computeReprojError2, stereo_pose_refinement.cpp:486 path). We return the
+    squared value; use ``jnp.sqrt`` for the L1 magnitude.
+    """
+    num, Ex1, Etx2 = epipolar_products(E, x1, x2)
+    denom = (
+        Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    )
+    return (num * num) / jnp.maximum(denom, 1e-12)
+
+
+def symmetric_epipolar_error(E, x1, x2) -> jax.Array:
+    """Symmetric squared distance to epipolar lines (..., N)."""
+    num, Ex1, Etx2 = epipolar_products(E, x1, x2)
+    d1 = (num * num) / jnp.maximum(Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2, 1e-12)
+    d2 = (num * num) / jnp.maximum(Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2, 1e-12)
+    return d1 + d2
+
+
+# ---------------------------------------------------------------------------
+# essential-matrix manifold
+# ---------------------------------------------------------------------------
+
+
+def closest_essential(E: jax.Array) -> jax.Array:
+    """Project onto the essential manifold: sv -> (s, s, 0), s = (s1+s2)/2.
+
+    Reference: pose_helper.cpp:152 getClosestE.
+    """
+    U, s, Vt = jnp.linalg.svd(E)
+    m = 0.5 * (s[..., 0] + s[..., 1])
+    s_new = jnp.stack([m, m, jnp.zeros_like(m)], axis=-1)
+    return (U * s_new[..., None, :]) @ Vt
+
+
+def essential_residual_stats(E, x1, x2, mask=None):
+    """Mean/median squared Sampson error over (masked) correspondences."""
+    err = sampson_error(E, x1, x2)
+    if mask is None:
+        return jnp.mean(err, axis=-1), masked_median(err, jnp.ones_like(err))
+    m = mask.astype(err.dtype)
+    mean = jnp.sum(err * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    return mean, masked_median(err, m)
+
+
+def is_valid_essential(E: jax.Array, tol: float = 1e-3) -> jax.Array:
+    """Check singular-value structure (s1 ~ s2, s3 ~ 0).
+
+    Reference: pose_helper.cpp:196 validateEssential (simplified).
+    """
+    s = jnp.linalg.svd(E, compute_uv=False)
+    s = s / jnp.maximum(s[..., :1], 1e-12)
+    return (jnp.abs(s[..., 0] - s[..., 1]) < tol * 10.0) & (s[..., 2] < tol * 10.0)
+
+
+# ---------------------------------------------------------------------------
+# rotations / quaternions
+# ---------------------------------------------------------------------------
+
+
+def quat_from_rot(R: jax.Array) -> jax.Array:
+    """Rotation matrix -> unit quaternion (w, x, y, z), w >= 0.
+
+    Branch-free Shepperd-style selection (reference MatToQuat,
+    pose_helper.cpp:861 uses the same 4-case selection with branches; we
+    compute all four candidates and pick by the largest pivot — TPU-static).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # four candidate (unnormalized) quats, each valid when its pivot > 0
+    qw = jnp.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = jnp.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21], axis=-1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22], axis=-1)
+
+    pivots = jnp.stack(
+        [1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22],
+        axis=-1,
+    )
+    case = jnp.argmax(pivots, axis=-1)
+    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4, 4)
+    q = jnp.take_along_axis(cands, case[..., None, None].astype(jnp.int32), axis=-2)[
+        ..., 0, :
+    ]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    # canonical sign: w >= 0
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def rot_from_quat(q: jax.Array) -> jax.Array:
+    """Unit quaternion (w, x, y, z) -> rotation matrix."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    n = w * w + x * x + y * y + z * z
+    s = 2.0 / jnp.maximum(n, 1e-12)
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return jnp.stack(
+        [
+            jnp.stack([1.0 - (yy + zz), xy - wz, xz + wy], axis=-1),
+            jnp.stack([xy + wz, 1.0 - (xx + zz), yz - wx], axis=-1),
+            jnp.stack([xz - wy, yz + wx, 1.0 - (xx + yy)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quat_mult(a: jax.Array, b: jax.Array) -> jax.Array:
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def rotation_angle(R: jax.Array) -> jax.Array:
+    """Rotation angle (radians) of R (reference rotDiff semantics)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    return jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+
+
+def angles_from_rot(R: jax.Array) -> jax.Array:
+    """Euler angles (roll, pitch, yaw) in degrees.
+
+    Reference: pose_helper.cpp:676 getAnglesRotMat (R = Rx*Ry*Rz convention).
+    Returns (..., 3) degrees.
+    """
+    pitch = -jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
+    roll = jnp.arctan2(R[..., 1, 2], R[..., 2, 2])
+    yaw = jnp.arctan2(R[..., 0, 1], R[..., 0, 0])
+    return jnp.stack([roll, pitch, yaw], axis=-1) * (180.0 / jnp.pi)
+
+
+def compare_poses(R1, t1, R2, t2):
+    """Pose difference metrics (reference: pose_helper.cpp:1296 compareRTs).
+
+    Returns (rot_diff_deg, t_ang_diff_deg, t_dist).
+    """
+    dR = jnp.swapaxes(R1, -1, -2) @ R2
+    rdiff = rotation_angle(dR) * (180.0 / jnp.pi)
+    t1n = normalize_vec(t1)
+    t2n = normalize_vec(t2)
+    ca = jnp.clip(jnp.sum(t1n * t2n, axis=-1), -1.0, 1.0)
+    # translations from E have a sign ambiguity only when comparing raw E's;
+    # for recovered poses the sign matters, so report the direct angle.
+    tang = jnp.arccos(ca) * (180.0 / jnp.pi)
+    tdist = jnp.linalg.norm(t1n - t2n, axis=-1)
+    return rdiff, tang, tdist
+
+
+# ---------------------------------------------------------------------------
+# robust statistics (masked, fixed-shape)
+# ---------------------------------------------------------------------------
+
+
+def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median over the masked entries of the last axis.
+
+    Invalid entries are pushed to +inf before sorting; the median index is
+    computed from the valid count (reference getStatsfromVec sorts a
+    compacted vector — pose_helper.cpp:358).
+    """
+    m = mask.astype(bool)
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xs = jnp.sort(jnp.where(m, x, big), axis=-1)
+    n = jnp.sum(m, axis=-1).astype(jnp.int32)
+    hi = jnp.clip((n - 1) // 2 + (n - 1) % 2, 0, x.shape[-1] - 1)
+    lo = jnp.clip((n - 1) // 2, 0, x.shape[-1] - 1)
+    vlo = jnp.take_along_axis(xs, lo[..., None], axis=-1)[..., 0]
+    vhi = jnp.take_along_axis(xs, hi[..., None], axis=-1)[..., 0]
+    med = 0.5 * (vlo + vhi)
+    return jnp.where(n > 0, med, jnp.zeros_like(med))
+
+
+def masked_stats(x: jax.Array, mask: jax.Array):
+    """(median, mean, std, MAD) over masked last axis.
+
+    Reference ``statVals`` = {median, arithErr(mean), arithStd, medErr(MAD)}
+    (pose_helper.h:64-66, getStatsfromVec pose_helper.cpp:358).
+    """
+    m = mask.astype(x.dtype)
+    n = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    mean = jnp.sum(x * m, axis=-1) / n
+    var = jnp.sum(m * (x - mean[..., None]) ** 2, axis=-1) / n
+    med = masked_median(x, mask)
+    mad = masked_median(jnp.abs(x - med[..., None]), mask)
+    return med, mean, jnp.sqrt(var), mad
+
+
+# ---------------------------------------------------------------------------
+# triangulation + pose recovery
+# ---------------------------------------------------------------------------
+
+
+def triangulate_linear(R, t, x1, x2):
+    """Two-view midpoint-free linear (DLT) triangulation in camera-1 frame.
+
+    Cameras P1 = [I|0], P2 = [R|t]; x1, x2 normalized coords (..., N, 2).
+    Solves the 4x4 homogeneous system per point via the eigenvector of
+    A^T A with the smallest eigenvalue (TPU-friendly symmetric eigensolve
+    on 4x4). Reference equivalent: five-point.cpp triangulation inside
+    recoverPose (:150-250) and triangPts3D (pose_estim.cpp:964).
+
+    Returns (..., N, 3) points in camera-1 coordinates.
+    """
+    shape = x1.shape[:-1]
+    # rows of A: x1x*P1[2]-P1[0]; x1y*P1[2]-P1[1]; same for P2
+    P1 = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1),
+        R.shape[:-2] + (3, 4),
+    )
+    P2 = jnp.concatenate([R, t[..., None]], axis=-1)
+
+    def rows(P, x):
+        # P: (..., 3, 4) -> broadcast over N
+        Pb = P[..., None, :, :]
+        r0 = x[..., 0:1] * Pb[..., 2, :] - Pb[..., 0, :]
+        r1 = x[..., 1:2] * Pb[..., 2, :] - Pb[..., 1, :]
+        return r0, r1
+
+    a0, a1 = rows(P1, x1)
+    a2, a3 = rows(P2, x2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[..., :, 0]  # smallest eigenvalue eigenvector
+    w = X[..., 3]
+    sign = jnp.where(w < 0, -1.0, 1.0)
+    X = X * sign[..., None]
+    w = jnp.abs(w)
+    pts = X[..., :3] / jnp.maximum(w, 1e-12)[..., None]
+    return pts.reshape(shape + (3,))
+
+
+def decompose_essential(E: jax.Array):
+    """E -> (R1, R2, t) candidates (five-point.cpp decomposeEssentialMat).
+
+    Returns R1, R2 with det=+1 and unit t; the four poses are
+    (R1, t), (R1, -t), (R2, t), (R2, -t).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    dU = jnp.linalg.det(U)
+    dV = jnp.linalg.det(Vt)
+    U = U * dU[..., None, None]
+    Vt = Vt * dV[..., None, None]
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    return R1, R2, t
+
+
+def cheirality_counts(R, t, x1, x2, mask, dist_thresh: float = 50.0):
+    """Count points in front of both cameras with depth < dist_thresh.
+
+    Replicates recoverPose's vote (five-point.cpp:150-250): triangulate,
+    require z1 > 0, z2 > 0 and z < dist (the reference uses dist=50 for
+    normalized coords).
+    """
+    X = triangulate_linear(R, t, x1, x2)
+    z1 = X[..., 2]
+    X2 = X @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    z2 = X2[..., 2]
+    ok = (z1 > 0) & (z2 > 0) & (z1 < dist_thresh) & (z2 < dist_thresh)
+    ok = ok & mask.astype(bool)
+    return jnp.sum(ok, axis=-1), X, ok
+
+
+def recover_pose(E, x1, x2, mask, dist_thresh: float = 50.0):
+    """Cheirality-voted pose from E (five-point.cpp:150 recoverPose).
+
+    Returns (R, t, X, good_mask, votes): the winning pose, triangulated
+    points in camera-1 frame, per-point cheirality mask, and the vote count.
+    """
+    R1, R2, t = decompose_essential(E)
+    cands_R = jnp.stack([R1, R1, R2, R2], axis=-3)  # (..., 4, 3, 3)
+    cands_t = jnp.stack([t, -t, t, -t], axis=-2)  # (..., 4, 3)
+    x1b = jnp.broadcast_to(x1[..., None, :, :], cands_R.shape[:-2] + x1.shape[-2:])
+    x2b = jnp.broadcast_to(x2[..., None, :, :], cands_R.shape[:-2] + x2.shape[-2:])
+    maskb = jnp.broadcast_to(mask[..., None, :], cands_R.shape[:-2] + mask.shape[-1:])
+    votes, X, ok = cheirality_counts(cands_R, cands_t, x1b, x2b, maskb, dist_thresh)
+    best = jnp.argmax(votes, axis=-1)
+
+    def take(a, idx):
+        return jnp.take_along_axis(
+            a, idx.reshape(idx.shape + (1,) * (a.ndim - idx.ndim)), axis=idx.ndim
+        ).squeeze(idx.ndim)
+
+    R = take(cands_R, best)
+    tt = take(cands_t, best)
+    Xw = take(X, best)
+    okw = take(ok, best)
+    nv = take(votes, best)
+    return R, tt, Xw, okw, nv
+
+
+# ---------------------------------------------------------------------------
+# Hartley normalization (for DLT-style solvers)
+# ---------------------------------------------------------------------------
+
+
+def normalize_points(x: jax.Array, mask: jax.Array):
+    """Shift to centroid, scale mean distance to sqrt(2). Returns (xn, T).
+
+    T is the 3x3 similarity with xn_h = T @ x_h. Masked points get weight 0.
+    """
+    m = mask.astype(x.dtype)
+    n = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    mean = jnp.sum(x * m[..., None], axis=-2) / n[..., None]
+    d = jnp.linalg.norm(x - mean[..., None, :], axis=-1)
+    scale = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.sum(d * m, axis=-1) / n, 1e-12
+    )
+    xn = (x - mean[..., None, :]) * scale[..., None, None]
+    z = jnp.zeros_like(scale)
+    one = jnp.ones_like(scale)
+    T = jnp.stack(
+        [
+            jnp.stack([scale, z, -scale * mean[..., 0]], axis=-1),
+            jnp.stack([z, scale, -scale * mean[..., 1]], axis=-1),
+            jnp.stack([z, z, one], axis=-1),
+        ],
+        axis=-2,
+    )
+    return xn, T

@@ -1,0 +1,475 @@
+"""Batched minimal solvers: 5pt essential, 8pt, homography DLT.
+
+TPU-native replacements for the reference's solver kernels (SURVEY.md P3/P6):
+- 5pt Nister/Stewenius (reference: five-point-nister/five-point.cpp:260-455
+  and opengv fivept_{nister,stewenius}) -> one batched polynomial solver
+- 8pt (opengv eightpt; also the nonminimal weighted solver used by
+  pose_linear_refinement.cpp:85 refineEssentialLinear)
+- 4pt homography DLT (usac HomogEstimator; pose_homography.cpp:674
+  runHomogrophyKernel)
+
+TPU design notes
+----------------
+Nonsymmetric eigendecompositions (the classic route to the 5pt solver's ten
+roots) are not available on TPU. We therefore:
+
+1. build the 4-dim nullspace of the 5x9 epipolar constraint via a *symmetric*
+   9x9 eigendecomposition (A^T A — `jnp.linalg.eigh`, TPU-supported),
+2. recover the ten cubic constraint polynomials **by interpolation**: the
+   constraints det(E)=0 and 2 E E^T E - tr(E E^T) E = 0 are exact cubics in
+   the nullspace coordinates (x, y, z), so evaluating them at 20 fixed
+   generic points and applying a precomputed 20x20 inverse Vandermonde
+   recovers all coefficients with two batched matmuls (MXU work, no symbolic
+   expansion),
+3. Gauss-Jordan-eliminate the 10 degree-3 monomials (one batched 10x10
+   `solve`) giving the Stewenius action matrix M_z for multiplication by z
+   on the quotient-ring basis [x^2, xy, y^2, xz, yz, z^2, x, y, z, 1],
+4. find the *real* eigenvalues of M_z as sign changes of
+   g(lam) = det((M_z - lam I)/sqrt(1+lam^2)) on a tan-parametrized grid,
+   refined by fixed-count bisection (batched 10x10 determinants — LU is
+   TPU-supported; the 1/sqrt(1+lam^2) scaling keeps g finite for |lam|→inf),
+5. extract each eigenvector by regularized inverse iteration (batched 10x10
+   solves) and read off x = v[6]/v[9], y = v[7]/v[9].
+
+Everything is fixed-shape: each minimal sample yields exactly 10 candidate
+essential matrices plus a validity mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# monomial bookkeeping (host-side, precomputed once)
+# ---------------------------------------------------------------------------
+
+# Ordering: first the 10 degree-3 monomials (eliminated), then the 10
+# monomials of degree <= 2 (the quotient-ring basis).
+_MONOMIALS = [
+    (3, 0, 0), (2, 1, 0), (1, 2, 0), (0, 3, 0), (2, 0, 1),
+    (1, 1, 1), (0, 2, 1), (1, 0, 2), (0, 1, 2), (0, 0, 3),
+    (2, 0, 0), (1, 1, 0), (0, 2, 0), (1, 0, 1), (0, 1, 1),
+    (0, 0, 2), (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0),
+]
+
+# Basis-monomial indices (within the last 10) of x, y, z, 1.
+_BASIS_X, _BASIS_Y, _BASIS_Z, _BASIS_1 = 6, 7, 8, 9
+# Reduction rows of B for z * {x^2, xy, y^2, xz, yz, z^2} = deg-3 monomials
+# {x^2 z, x y z, y^2 z, x z^2, y z^2, z^3} at hi-indices:
+_Z_TIMES_BASIS_HI = [4, 5, 6, 7, 8, 9]
+# Direct basis hits for z * {x, y, z, 1} = {xz, yz, z^2, z} at lo-indices:
+_Z_TIMES_BASIS_LO = [3, 4, 5, 8]
+
+
+def _eval_monomials(pts: np.ndarray) -> np.ndarray:
+    """(K, 3) points -> (K, 20) monomial values."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    cols = [x**px * y**py * z**pz for (px, py, pz) in _MONOMIALS]
+    return np.stack(cols, axis=1)
+
+
+def _pick_interpolation_points(seed_trials: int = 400) -> np.ndarray:
+    """Choose 20 generic points minimizing the Vandermonde condition number.
+
+    Done once at import in float64 numpy; the resulting inverse is exact up
+    to f64 and baked in as a constant, so runtime cost is two matmuls.
+    """
+    best_pts, best_cond = None, np.inf
+    for s in range(seed_trials):
+        rng = np.random.default_rng(1234 + s)
+        pts = rng.uniform(-1.0, 1.0, size=(20, 3))
+        V = _eval_monomials(pts)
+        c = np.linalg.cond(V)
+        if c < best_cond:
+            best_cond, best_pts = c, pts
+    return best_pts
+
+
+_PTS64 = _pick_interpolation_points()
+_VINV64 = np.linalg.inv(_eval_monomials(_PTS64))  # (20, 20)
+
+# device constants (float32)
+_INTERP_PTS = jnp.asarray(_PTS64, jnp.float32)  # (20, 3)
+_VINV_T = jnp.asarray(_VINV64.T, jnp.float32)  # (20, 20): C = F @ VINV^T
+
+
+# ---------------------------------------------------------------------------
+# nullspace helpers (symmetric eigensolves — TPU-native)
+# ---------------------------------------------------------------------------
+
+
+def nullspace_from_ata(A: jax.Array, k: int) -> jax.Array:
+    """k smallest-eigenvalue eigenvectors of A^T A. A: (..., M, N) -> (..., N, k)."""
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    return vecs[..., :, :k]
+
+
+def epipolar_rows(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Row of the DLT system x2^T E x1 = 0 for row-major vec(E).
+
+    x1, x2: (..., N, 2) normalized coords -> (..., N, 9).
+    """
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    one = jnp.ones_like(u1)
+    return jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5-point solver
+# ---------------------------------------------------------------------------
+
+
+def _constraint_values(Ebasis: jax.Array) -> jax.Array:
+    """Evaluate the 10 cubic constraints at the 20 interpolation points.
+
+    Ebasis: (..., 4, 3, 3) with E(x,y,z) = x*E0 + y*E1 + z*E2 + E3.
+    Returns (..., 10, 20).
+    """
+    pts = _INTERP_PTS  # (20, 3)
+    w = jnp.concatenate([pts, jnp.ones((20, 1), pts.dtype)], axis=1)  # (20, 4)
+    # E at each point: (..., 20, 3, 3)
+    Ep = jnp.einsum("kb,...bij->...kij", w, Ebasis)
+    detE = jnp.linalg.det(Ep)  # (..., 20)
+    EEt = Ep @ jnp.swapaxes(Ep, -1, -2)
+    tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
+    M = 2.0 * (EEt @ Ep) - tr[..., None, None] * Ep  # (..., 20, 3, 3)
+    Mflat = M.reshape(M.shape[:-2] + (9,))  # (..., 20, 9)
+    F = jnp.concatenate(
+        [detE[..., None], Mflat], axis=-1
+    )  # (..., 20, 10)
+    return jnp.swapaxes(F, -1, -2)  # (..., 10, 20)
+
+
+def _action_matrix(C: jax.Array):
+    """Gauss-Jordan eliminate deg-3 monomials; build M_z (..., 10, 10).
+
+    C: (..., 10, 20) cubic coefficient matrix in _MONOMIALS order.
+    Returns (Mz, ok) where ok flags well-conditioned elimination.
+    """
+    C_hi = C[..., :, :10]
+    C_lo = C[..., :, 10:]
+    B = jnp.linalg.solve(C_hi, C_lo)  # (..., 10, 10)
+    ok = jnp.all(jnp.isfinite(B), axis=(-1, -2))
+    B = jnp.where(ok[..., None, None], B, jnp.zeros_like(B))
+
+    top = -B[..., _Z_TIMES_BASIS_HI, :]  # (..., 6, 10)
+    eye = jnp.eye(10, dtype=C.dtype)
+    bottom = jnp.broadcast_to(
+        eye[jnp.asarray(_Z_TIMES_BASIS_LO)], C.shape[:-2] + (4, 10)
+    )
+    Mz = jnp.concatenate([top, bottom], axis=-2)
+    return Mz, ok
+
+
+def _scaled_char(M: jax.Array, lam: jax.Array) -> jax.Array:
+    """g(lam) = det((M - lam I) / sqrt(1 + lam^2)) — bounded for |lam|→inf.
+
+    M: (..., 10, 10); lam: (...,) broadcastable. Returns (...,).
+    """
+    n = M.shape[-1]
+    s = jax.lax.rsqrt(1.0 + lam * lam)
+    A = (M - lam[..., None, None] * jnp.eye(n, dtype=M.dtype)) * s[..., None, None]
+    return jnp.linalg.det(A)
+
+
+_N_THETA = 129  # sign-scan resolution
+_N_BISECT = 42  # fixed bisection iterations (theta space)
+_MAX_ROOTS = 10
+
+
+def _real_eigenvalues(M: jax.Array):
+    """Real eigenvalues of batched 10x10 matrices by det sign scan + bisection.
+
+    Returns (roots, valid) with shapes (..., 10). Complex eigenvalues are
+    (correctly) skipped; tight double real roots without a sign change are
+    missed — harmless under RANSAC (that hypothesis is simply not produced).
+    """
+    dtype = M.dtype
+    eps = 1e-3
+    theta = jnp.linspace(
+        -jnp.pi / 2 + eps, jnp.pi / 2 - eps, _N_THETA, dtype=dtype
+    )
+    lam = jnp.tan(theta)  # (S,)
+    batch = M.shape[:-2]
+    g = _scaled_char(M[..., None, :, :], jnp.broadcast_to(lam, batch + (_N_THETA,)))
+    sign = jnp.sign(g)
+    flips = sign[..., :-1] * sign[..., 1:] < 0  # (..., S-1)
+
+    # first up-to-10 flip interval indices (pad with S-1 -> invalid)
+    iota = jnp.arange(_N_THETA - 1)
+    cand = jnp.where(flips, iota, _N_THETA - 1)
+    cand = jnp.sort(cand, axis=-1)[..., :_MAX_ROOTS]  # (..., 10)
+    valid = cand < (_N_THETA - 1)
+    cand = jnp.minimum(cand, _N_THETA - 2)
+
+    lo = theta[cand]  # (..., 10)
+    hi = theta[cand + 1]
+    g_lo = _scaled_char(M[..., None, :, :], jnp.tan(lo))
+
+    def body(_, carry):
+        lo, hi, g_lo = carry
+        mid = 0.5 * (lo + hi)
+        g_mid = _scaled_char(M[..., None, :, :], jnp.tan(mid))
+        left = g_lo * g_mid <= 0
+        hi = jnp.where(left, mid, hi)
+        lo_new = jnp.where(left, lo, mid)
+        g_lo = jnp.where(left, g_lo, g_mid)
+        return lo_new, hi, g_lo
+
+    lo, hi, _ = jax.lax.fori_loop(0, _N_BISECT, body, (lo, hi, g_lo))
+    roots = jnp.tan(0.5 * (lo + hi))
+    return roots, valid
+
+
+def _eigenvector_xy(M: jax.Array, z: jax.Array, valid: jax.Array):
+    """x, y from the quotient-basis eigenvector of M_z for eigenvalue z.
+
+    Regularized inverse iteration: v <- normalize((M - z I + eps I)^-1 v).
+    M: (..., 10, 10); z: (..., R). Returns x, y, ok each (..., R).
+    """
+    n = M.shape[-1]
+    A = M[..., None, :, :] - z[..., None, None] * jnp.eye(n, dtype=M.dtype)
+    reg = 1e-5 * jnp.eye(n, dtype=M.dtype)
+    A = A + reg
+    v = jnp.ones(A.shape[:-1], M.dtype)
+
+    def body(_, v):
+        v = jnp.linalg.solve(A, v[..., None])[..., 0]
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20
+        )
+
+    v = jax.lax.fori_loop(0, 4, body, v)
+    w = v[..., _BASIS_1]
+    ok = valid & (jnp.abs(w) > 1e-6) & jnp.all(jnp.isfinite(v), axis=-1)
+    w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1.0)
+    x = v[..., _BASIS_X] / w_safe
+    y = v[..., _BASIS_Y] / w_safe
+    # consistency: the eigenvector's z entry must agree with the eigenvalue
+    z_hat = v[..., _BASIS_Z] / w_safe
+    ok = ok & (jnp.abs(z_hat - z) <= 0.05 * (1.0 + jnp.abs(z)))
+    return x, y, ok
+
+
+def _constraints_at(Ebasis: jax.Array, xyz: jax.Array) -> jax.Array:
+    """The 10 cubic constraint values at a single point (x, y, z).
+
+    Ebasis: (4, 3, 3); xyz: (3,). Returns (10,). Used for the Gauss-Newton
+    polish (differentiated with jacfwd).
+    """
+    w = jnp.concatenate([xyz, jnp.ones((1,), xyz.dtype)])
+    E = jnp.einsum("b,bij->ij", w, Ebasis)
+    detE = jnp.linalg.det(E)
+    EEt = E @ E.T
+    tr = EEt[0, 0] + EEt[1, 1] + EEt[2, 2]
+    M = 2.0 * (EEt @ E) - tr * E
+    return jnp.concatenate([detE[None], M.reshape(9)])
+
+
+def _polish_xyz(Ebasis: jax.Array, xyz: jax.Array, iters: int = 3) -> jax.Array:
+    """Damped Gauss-Newton on the 10 algebraic constraints.
+
+    Recovers the precision lost to f32 interpolation/elimination/bisection:
+    typically 2-3 orders of magnitude on the final Sampson error.
+    Ebasis: (..., 4, 3, 3); xyz: (..., R, 3).
+    """
+    fjac = jax.jacfwd(_constraints_at, argnums=1)
+
+    flat_basis = Ebasis[..., None, :, :, :]
+    flat_basis = jnp.broadcast_to(
+        flat_basis, xyz.shape[:-1] + (4, 3, 3)
+    ).reshape((-1, 4, 3, 3))
+    flat_xyz = xyz.reshape((-1, 3))
+
+    def step(_, p):
+        F = jax.vmap(_constraints_at)(flat_basis, p)  # (B, 10)
+        J = jax.vmap(fjac)(flat_basis, p)  # (B, 10, 3)
+        JtJ = jnp.einsum("bri,brj->bij", J, J)
+        JtF = jnp.einsum("bri,br->bi", J, F)
+        damp = 1e-8 * jnp.eye(3, dtype=p.dtype)
+        dp = jnp.linalg.solve(JtJ + damp, JtF[..., None])[..., 0]
+        dp = jnp.where(jnp.isfinite(dp), dp, jnp.zeros_like(dp))
+        return p - dp
+
+    flat_xyz = jax.lax.fori_loop(0, iters, step, flat_xyz)
+    return flat_xyz.reshape(xyz.shape)
+
+
+def solve_5pt(x1: jax.Array, x2: jax.Array):
+    """Batched five-point essential-matrix solver.
+
+    x1, x2: (..., 5, 2) normalized camera coordinates (minimal samples).
+    Returns (E, valid): E (..., 10, 3, 3) Frobenius-normalized candidates,
+    valid (..., 10) boolean mask of real solutions.
+
+    Reference behavior: five-point.cpp run5Point / opengv fivept_stewenius;
+    see module docstring for the TPU-native derivation.
+    """
+    A = epipolar_rows(x1, x2)  # (..., 5, 9)
+    # SVD-based nullspace (not A^T A) — avoids squaring the conditioning.
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    ns = jnp.swapaxes(Vt[..., 5:9, :], -1, -2)  # (..., 9, 4)
+    Ebasis = jnp.swapaxes(ns, -1, -2).reshape(ns.shape[:-2] + (4, 3, 3))
+    # order so that E = x*E0 + y*E1 + z*E2 + 1*E3: put the most null
+    # direction (last right-singular vector) in the constant slot E3.
+    Ebasis = Ebasis[..., ::-1, :, :]
+
+    C = _constraint_values(Ebasis)  # (..., 10, 20) values at interp points
+    C = C @ _VINV_T.astype(C.dtype)  # -> polynomial coefficients
+    Mz, okA = _action_matrix(C)
+    roots, rvalid = _real_eigenvalues(Mz)
+    x, y, ok = _eigenvector_xy(Mz, roots, rvalid)
+
+    xyz = jnp.stack([x, y, roots], axis=-1)  # (..., 10, 3)
+    xyz = _polish_xyz(Ebasis, xyz)
+    coeffs = jnp.concatenate(
+        [xyz, jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)], axis=-1
+    )  # (..., 10, 4)
+    E = jnp.einsum("...rb,...bij->...rij", coeffs, Ebasis)
+    nrm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
+    E = E / jnp.maximum(nrm, 1e-12)[..., None, None]
+    valid = ok & okA[..., None] & (nrm > 1e-9) & jnp.all(
+        jnp.isfinite(E), axis=(-1, -2)
+    )
+    E = jnp.where(valid[..., None, None], E, jnp.eye(3, dtype=E.dtype))
+    return E, valid
+
+
+# ---------------------------------------------------------------------------
+# 8-point / nonminimal weighted essential or fundamental solver
+# ---------------------------------------------------------------------------
+
+
+def solve_8pt(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array | None = None,
+    weights: jax.Array | None = None,
+    essential: bool = True,
+):
+    """Batched (weighted) 8-point solver on N >= 8 correspondences.
+
+    x1, x2: (..., N, 2) normalized coords; mask/weights (..., N) optional.
+    With ``essential`` the result is projected to the essential manifold
+    ((s,s,0) singular values), else only to rank 2 (fundamental matrix).
+
+    Serves both as minimal 8pt (opengv eightpt) and as the weighted
+    nonminimal solver of the linear refinement loop
+    (pose_linear_refinement.cpp:85 refineEssentialLinear).
+    Hartley normalization is applied for conditioning.
+    """
+    from matchinglib_poselib_tpu.ops.geometry import normalize_points
+
+    if mask is None:
+        mask = jnp.ones(x1.shape[:-1], x1.dtype)
+    w = mask.astype(x1.dtype)
+    if weights is not None:
+        w = w * weights
+    x1n, T1 = normalize_points(x1, mask)
+    x2n, T2 = normalize_points(x2, mask)
+    A = epipolar_rows(x1n, x2n) * w[..., None]
+    ns = nullspace_from_ata(A, 1)[..., 0]  # (..., 9)
+    En = ns.reshape(ns.shape[:-1] + (3, 3))
+    # denormalize: x2^T E x1 with x_n = T x  =>  E = T2^T En T1
+    E = jnp.swapaxes(T2, -1, -2) @ En @ T1
+    U, s, Vt = jnp.linalg.svd(E)
+    if essential:
+        m = 0.5 * (s[..., 0] + s[..., 1])
+        s_new = jnp.stack([m, m, jnp.zeros_like(m)], axis=-1)
+    else:
+        s_new = jnp.concatenate(
+            [s[..., :2], jnp.zeros_like(s[..., 2:3])], axis=-1
+        )
+    E = (U * s_new[..., None, :]) @ Vt
+    nrm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
+    E = E / jnp.maximum(nrm, 1e-12)[..., None, None]
+    valid = jnp.all(jnp.isfinite(E), axis=(-1, -2)) & (
+        jnp.sum(mask.astype(jnp.int32), axis=-1) >= 8
+    )
+    return E, valid
+
+
+# ---------------------------------------------------------------------------
+# homography DLT
+# ---------------------------------------------------------------------------
+
+
+def homography_rows(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Two DLT rows per correspondence for x2 ~ H x1 (row-major vec(H)).
+
+    x1, x2: (..., N, 2) -> (..., 2N, 9).
+    """
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    z = jnp.zeros_like(u1)
+    one = jnp.ones_like(u1)
+    r1 = jnp.stack(
+        [u1, v1, one, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1
+    )
+    r2 = jnp.stack(
+        [z, z, z, u1, v1, one, -v2 * u1, -v2 * v1, -v2], axis=-1
+    )
+    rows = jnp.stack([r1, r2], axis=-2)  # (..., N, 2, 9)
+    return rows.reshape(rows.shape[:-3] + (2 * rows.shape[-3], 9))
+
+
+def solve_homography(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array | None = None,
+    weights: jax.Array | None = None,
+):
+    """Batched (weighted) homography DLT on N >= 4 correspondences.
+
+    Reference: usac HomogEstimator minimal kernel / pose_homography.cpp:674
+    runHomogrophyKernel. Hartley-normalized. Returns (H, valid), H scaled so
+    H[2,2] = 1 where possible.
+    """
+    from matchinglib_poselib_tpu.ops.geometry import normalize_points
+
+    if mask is None:
+        mask = jnp.ones(x1.shape[:-1], x1.dtype)
+    w = mask.astype(x1.dtype)
+    if weights is not None:
+        w = w * weights
+    x1n, T1 = normalize_points(x1, mask)
+    x2n, T2 = normalize_points(x2, mask)
+    A = homography_rows(x1n, x2n)
+    w2 = jnp.repeat(w, 2, axis=-1)
+    A = A * w2[..., None]
+    ns = nullspace_from_ata(A, 1)[..., 0]
+    Hn = ns.reshape(ns.shape[:-1] + (3, 3))
+    # denormalize: x2n ~ Hn x1n, x_n = T x  =>  H = T2^-1 Hn T1
+    H = jnp.linalg.solve(T2, Hn @ T1)
+    scale = H[..., 2, 2]
+    safe = jnp.abs(scale) > 1e-8
+    H = jnp.where(
+        safe[..., None, None],
+        H / jnp.where(safe, scale, 1.0)[..., None, None],
+        H,
+    )
+    valid = jnp.all(jnp.isfinite(H), axis=(-1, -2)) & (
+        jnp.sum(mask.astype(jnp.int32), axis=-1) >= 4
+    )
+    return H, valid
+
+
+def homography_transfer_error(H: jax.Array, x1: jax.Array, x2: jax.Array):
+    """Squared symmetric-free forward transfer error |x2 - H x1|^2 (..., N)."""
+    from matchinglib_poselib_tpu.ops.geometry import to_homogeneous
+
+    h1 = to_homogeneous(x1)
+    p = h1 @ jnp.swapaxes(H, -1, -2)
+    w = p[..., 2]
+    w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    proj = p[..., :2] / w_safe[..., None]
+    err = jnp.sum((proj - x2) ** 2, axis=-1)
+    return jnp.where(jnp.abs(w) > 1e-12, err, jnp.inf)
