@@ -36,23 +36,35 @@ class RefineResult(NamedTuple):
     mean_sampson: jax.Array  # mean squared Sampson error on final inliers
 
 
-def _weights(err_sq: jax.Array, th_sq: jax.Array, kind: RefineWeights):
-    """IRLS weights from squared Sampson residuals.
+def _weights(
+    E: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    err_sq: jax.Array,
+    th_sq: jax.Array,
+    kind: RefineWeights,
+):
+    """IRLS weights from Sampson residuals.
 
-    Torr weights: w = 1/sqrt(denominator-scaled residual) — approximated by
-    the inverse Sampson magnitude (weightingEssential.cpp:53); pseudo-Huber:
-    w = sqrt(rho'(e)/e) with rho the pseudo-Huber cost of scale b
-    (weightingEssential.cpp:101-165).
+    Torr weights: the epipolar-gradient normalization 1/sqrt(denom) that
+    turns the algebraic DLT error into the Sampson geometric error
+    (weightingEssential.cpp:53 computeTorrWeights); pseudo-Huber:
+    additionally w = 1/(1 + (e/b)^2)^(1/4), the sqrt of the pseudo-Huber
+    influence over the residual (weightingEssential.cpp:101-165).
     """
-    e = jnp.sqrt(jnp.maximum(err_sq, 1e-20))
+    _, Ex1, Etx2 = geo.epipolar_products(E, x1, x2)
+    denom = (
+        Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    )
+    torr = 1.0 / jnp.sqrt(jnp.maximum(denom, 1e-12))
     if kind == RefineWeights.TORR:
-        return 1.0 / jnp.maximum(e, 1e-8)
+        return torr
     if kind == RefineWeights.PSEUDO_HUBER:
+        e = jnp.sqrt(jnp.maximum(err_sq, 1e-20))
         b = jnp.sqrt(jnp.maximum(th_sq, 1e-20))
-        # rho(e) = 2 b^2 (sqrt(1 + (e/b)^2) - 1); w = sqrt(rho') / e
         s = jnp.sqrt(1.0 + (e / b) ** 2)
-        return 1.0 / jnp.sqrt(s)
-    return jnp.ones_like(e)  # SQUARED = plain least squares
+        return torr / jnp.sqrt(s)
+    return jnp.ones_like(torr)  # SQUARED = plain least squares
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -88,7 +100,9 @@ def refine_essential_linear(
         th_i = (m - (i + 1).astype(x1.dtype) * step) * threshold_sq
         err = geo.sampson_error(E, x1, x2)
         band = (err < th_i) & maskb
-        w = _weights(err, threshold_sq, cfg.weights) * band.astype(x1.dtype)
+        w = _weights(E, x1, x2, err, threshold_sq, cfg.weights) * band.astype(
+            x1.dtype
+        )
         E_new, ok = solvers.solve_8pt(
             x1, x2, mask=band.astype(x1.dtype), weights=w
         )
