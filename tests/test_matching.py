@@ -1,0 +1,178 @@
+"""Tests for exact matching engine and correspondence filters."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from matchinglib_poselib_tpu.ops import matching, filters
+
+
+def _random_binary_desc(rng, n, words=8):
+    return rng.integers(0, 2**32, size=(n, words), dtype=np.uint32)
+
+
+def test_hamming_matrix_exact(rng):
+    d1 = _random_binary_desc(rng, 32)
+    d2 = _random_binary_desc(rng, 48)
+    dist = np.asarray(
+        matching.hamming_distance_matrix(jnp.asarray(d1), jnp.asarray(d2))
+    )
+    # reference popcount
+    a = np.unpackbits(d1.view(np.uint8), axis=1)
+    b = np.unpackbits(d2.view(np.uint8), axis=1)
+    ref = (a[:, None, :] != b[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(dist.astype(np.int64), ref)
+
+
+def test_l2_matrix_exact(rng):
+    d1 = rng.normal(size=(20, 128)).astype(np.float32)
+    d2 = rng.normal(size=(30, 128)).astype(np.float32)
+    dist = np.asarray(matching.l2_distance_matrix(jnp.asarray(d1), jnp.asarray(d2)))
+    ref = ((d1[:, None, :] - d2[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(dist, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_match_identity_permutation(rng):
+    """Identical descriptors under a permutation must match exactly."""
+    n = 64
+    d1 = _random_binary_desc(rng, n)
+    perm = rng.permutation(n)
+    d2 = d1[perm]
+    res = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.ones(n), jnp.ones(n),
+        ratio_test=False, cross_check=True,
+    )
+    assert bool(res.mask.all())
+    np.testing.assert_array_equal(np.asarray(res.idx), np.argsort(perm)[np.arange(n)] if False else np.asarray([int(np.where(perm == i)[0][0]) for i in range(n)]))
+    assert float(res.distance.max()) == 0.0
+
+
+def test_ratio_test_rejects_ambiguous(rng):
+    n = 16
+    d1 = _random_binary_desc(rng, n)
+    # set 2 = two near-copies of every descriptor -> ambiguous 2nd NN
+    d2 = np.concatenate([d1, d1], axis=0)
+    res = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.ones(n), jnp.ones(2 * n),
+        ratio_test=True, cross_check=False,
+    )
+    assert int(res.n_matches) == 0  # d1/d2 ratio = 1 > 0.75
+
+
+def test_mask_excludes_padding(rng):
+    n = 32
+    d1 = _random_binary_desc(rng, n)
+    d2 = np.concatenate([d1, d1[:8]], axis=0)  # 8 padded duplicate slots
+    valid2 = np.ones(n + 8, np.float32)
+    valid2[n:] = 0.0
+    res = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.ones(n), jnp.asarray(valid2),
+        ratio_test=True, cross_check=True,
+    )
+    # with padding masked, every descriptor has a unique perfect match
+    assert int(res.n_matches) == n
+    assert int(res.idx.max()) < n
+
+
+def test_spatial_penalty_guides_match(rng):
+    """With a spatial penalty, a worse-descriptor but spatially-consistent
+    candidate must win (the GMbSOF guided-matching mechanism)."""
+    d1 = _random_binary_desc(rng, 1)
+    # candidate 0: perfect descriptor; candidate 1: 1 bit flipped
+    d2 = np.concatenate([d1, d1], axis=0)
+    d2[1, 0] ^= 1
+    penalty = jnp.asarray([[1e9, 0.0]])  # candidate 0 spatially implausible
+    res = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.ones(1), jnp.ones(2),
+        ratio_test=False, cross_check=False,
+        spatial_penalty=penalty,
+    )
+    assert int(res.idx[0]) == 1
+
+
+def _flow_scene(rng, n=512, outlier_frac=0.3, shape=(480, 640)):
+    """Smooth-flow inlier matches + scattered outliers, pixel coords."""
+    h, w = shape
+    pts1 = np.stack(
+        [rng.uniform(0, w, n), rng.uniform(0, h, n)], axis=1
+    ).astype(np.float32)
+    # smooth affine-ish flow
+    flow = np.stack(
+        [10 + 0.02 * pts1[:, 0], -6 + 0.01 * pts1[:, 1]], axis=1
+    ).astype(np.float32)
+    pts2 = pts1 + flow + rng.normal(scale=0.5, size=(n, 2)).astype(np.float32)
+    n_out = int(outlier_frac * n)
+    out_idx = rng.choice(n, n_out, replace=False)
+    pts2[out_idx] = np.stack(
+        [rng.uniform(0, w, n_out), rng.uniform(0, h, n_out)], axis=1
+    )
+    gt_inlier = np.ones(n, bool)
+    gt_inlier[out_idx] = False
+    return pts1, pts2, gt_inlier, shape
+
+
+def _precision_recall(keep, gt):
+    keep = np.asarray(keep)
+    tp = (keep & gt).sum()
+    return tp / max(keep.sum(), 1), tp / max(gt.sum(), 1)
+
+
+def test_gms_filter(rng):
+    pts1, pts2, gt, shape = _flow_scene(rng, n=2048, outlier_frac=0.3)
+    keep = filters.gms_filter(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.ones(len(pts1)),
+        shape, shape,
+    )
+    prec, rec = _precision_recall(np.asarray(keep), gt)
+    assert prec > 0.9, f"GMS precision {prec}"
+    assert rec > 0.5, f"GMS recall {rec}"
+
+
+def test_sof_filter(rng):
+    pts1, pts2, gt, shape = _flow_scene(rng, n=2048, outlier_frac=0.3)
+    keep = filters.sof_filter_matches(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.ones(len(pts1)), shape
+    )
+    prec, rec = _precision_recall(np.asarray(keep), gt)
+    assert prec > 0.9, f"SOF precision {prec}"
+    assert rec > 0.6, f"SOF recall {rec}"
+
+
+def test_sof_statistics_validation(rng):
+    """Cells full of random flow must be invalidated."""
+    pts1, pts2, gt, shape = _flow_scene(rng, n=1024, outlier_frac=0.95)
+    field = filters.sof_statistics(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.ones(len(pts1)), shape
+    )
+    assert int(field.valid.sum()) <= 6  # nearly all cells inconsistent
+
+
+def test_vfc_filter(rng):
+    pts1, pts2, gt, shape = _flow_scene(rng, n=512, outlier_frac=0.3)
+    h, w = shape
+    scale = np.array([w, h], np.float32)
+    res = filters.vfc_filter(
+        jnp.asarray(pts1 / scale), jnp.asarray(pts2 / scale),
+        jnp.ones(len(pts1)),
+    )
+    prec, rec = _precision_recall(np.asarray(res.inlier_mask), gt)
+    assert prec > 0.9, f"VFC precision {prec}"
+    assert rec > 0.8, f"VFC recall {rec}"
+
+
+def test_vfc_sparse_variant(rng):
+    pts1, pts2, gt, shape = _flow_scene(rng, n=512, outlier_frac=0.3)
+    h, w = shape
+    scale = np.array([w, h], np.float32)
+    res = filters.vfc_filter(
+        jnp.asarray(pts1 / scale), jnp.asarray(pts2 / scale),
+        jnp.ones(len(pts1)), n_basis=16,
+    )
+    prec, rec = _precision_recall(np.asarray(res.inlier_mask), gt)
+    assert prec > 0.85, f"sparse VFC precision {prec}"
+    assert rec > 0.7, f"sparse VFC recall {rec}"
+
+
+def test_matcher_registry():
+    assert matching.is_matcher_supported("GMBSOF")
+    assert matching.is_matcher_supported("hnsw")
+    assert not matching.is_matcher_supported("NOPE")
