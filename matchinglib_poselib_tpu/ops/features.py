@@ -1,0 +1,485 @@
+"""Feature frontend: corner detection, orientation, descriptors.
+
+TPU-native equivalent of the reference's detector/descriptor factories
+(SURVEY.md M2/M3; features.cpp:145-379 getKeypoints, :397-484
+getDescriptors, :506-770 responseFilterGridBased, :792-847 createDetector,
+:849-971 createExtractor). The reference delegates to OpenCV's 10 detectors
+and 22 descriptors; here the registry provides TPU-shaped families covering
+both descriptor datatypes the matchers consume:
+
+- detection: FAST segment-test score, Harris, Shi-Tomasi — all as shifted
+  elementwise comparisons / separable convolutions (VPU work, no gathers),
+  with reduce_window NMS and per-grid-cell top-k retention (the exact
+  TPU-shaped analogue of the reference's grid-based response filtering).
+- orientation: ORB's intensity-centroid moments over the keypoint patch.
+- descriptors: rotation-steered BRIEF-256 (binary, Hamming-matched, the
+  ORB/BRISK/FREAK family representative) and a SIFT-like 128-d gradient
+  histogram float descriptor (the SIFT/SURF/DAISY/VGG family
+  representative). Other reference descriptor names are registry aliases of
+  these two families (documented substitution, equal datatype + metric).
+
+Everything is fixed-shape: exactly `max_keypoints` slots per image with a
+validity mask; images are (H, W) float32 grayscale in [0, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from matchinglib_poselib_tpu.config import DetectorConfig, DescriptorConfig
+
+
+class Keypoints(NamedTuple):
+    xy: jax.Array  # (K, 2) float32 pixel coords (x, y)
+    score: jax.Array  # (K,) detector response
+    angle: jax.Array  # (K,) orientation in radians
+    scale: jax.Array  # (K,) pyramid scale factor (1.0 = base)
+    mask: jax.Array  # (K,) bool validity
+
+    @property
+    def n(self):
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# corner scores
+# ---------------------------------------------------------------------------
+
+# FAST 16-pixel Bresenham circle offsets (dy, dx), radius 3 — the standard
+# segment-test ring (OpenCV FastFeatureDetector semantics, features.cpp:792).
+_FAST_RING = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+
+def _shift2d(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Shift with zero padding (image stays same shape)."""
+    return jnp.roll(img, shift=(dy, dx), axis=(0, 1))
+
+
+def fast_score(img: jax.Array, threshold: float = 20.0 / 255.0) -> jax.Array:
+    """FAST-9/16 segment-test corner response.
+
+    A pixel is a corner if >= 9 contiguous ring pixels are all brighter than
+    c + t or all darker than c - t; the response is the sum of absolute
+    differences over the qualifying arc (OpenCV's FAST score semantics).
+    Computed via 16 rolled copies of the image — pure VPU element-wise work.
+    """
+    ring = jnp.stack(
+        [_shift2d(img, int(dy), int(dx)) for dy, dx in _FAST_RING], axis=0
+    )  # (16, H, W)
+    diff = ring - img[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def arc9(flags):
+        # contiguous run of >= 9 around the 16-ring: for each of 16 start
+        # positions check AND of 9 consecutive (wrap-around)
+        acc = jnp.zeros_like(flags[0], dtype=bool)
+        run = jnp.concatenate([flags, flags[:8]], axis=0)  # (24, H, W)
+        for s in range(16):
+            win = run[s : s + 9]
+            acc = acc | jnp.all(win, axis=0)
+        return acc
+
+    is_corner = arc9(brighter) | arc9(darker)
+    mag = jnp.abs(diff) - threshold
+    score_b = jnp.sum(jnp.where(brighter, mag, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(darker, mag, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _sobel(img: jax.Array):
+    """Sobel gradients via shifted sums (VPU friendly)."""
+    p = lambda dy, dx: _shift2d(img, dy, dx)
+    gx = (
+        (p(0, -1) - p(0, 1)) * 2.0
+        + (p(-1, -1) - p(-1, 1))
+        + (p(1, -1) - p(1, 1))
+    )
+    gy = (
+        (p(-1, 0) - p(1, 0)) * 2.0
+        + (p(-1, -1) - p(1, -1))
+        + (p(-1, 1) - p(1, 1))
+    )
+    return gx, gy
+
+
+def _box3(img: jax.Array) -> jax.Array:
+    s = (
+        img
+        + _shift2d(img, 0, 1) + _shift2d(img, 0, -1)
+    )
+    return (
+        s + _shift2d(s, 1, 0) + _shift2d(s, -1, 0)
+    )
+
+
+def harris_score(img: jax.Array, k: float = 0.04) -> jax.Array:
+    """Harris corner response det(M) - k tr(M)^2 with a 3x3 window."""
+    gx, gy = _sobel(img)
+    a = _box3(gx * gx)
+    b = _box3(gy * gy)
+    c = _box3(gx * gy)
+    det = a * b - c * c
+    tr = a + b
+    return det - k * tr * tr
+
+
+def shi_tomasi_score(img: jax.Array) -> jax.Array:
+    """Minimum-eigenvalue (GFTT) response."""
+    gx, gy = _sobel(img)
+    a = _box3(gx * gx)
+    b = _box3(gy * gy)
+    c = _box3(gx * gy)
+    half_tr = 0.5 * (a + b)
+    rad = jnp.sqrt(jnp.maximum(half_tr * half_tr - (a * b - c * c), 0.0))
+    return half_tr - rad
+
+
+# ---------------------------------------------------------------------------
+# NMS + grid top-k selection
+# ---------------------------------------------------------------------------
+
+
+def nms(score: jax.Array, radius: int = 3) -> jax.Array:
+    """Keep only local maxima within (2r+1)^2 windows."""
+    w = 2 * radius + 1
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME"
+    )
+    return jnp.where((score >= mx) & (score > 0.0), score, 0.0)
+
+
+def select_keypoints_grid(
+    score: jax.Array,
+    max_keypoints: int,
+    grid_cells: int = 0,
+    border: int = 16,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid-capped top-k keypoint selection.
+
+    The TPU-shaped analogue of the reference's adaptive grid response filter
+    (responseFilterGridBased, features.cpp:506): the image is divided into
+    roughly `grid_cells^2` cells; each cell may contribute at most
+    ceil(2 * max_keypoints / n_cells) keypoints; the global top
+    `max_keypoints` by response are kept. Returns (xy, score, mask).
+    """
+    H, W = score.shape
+    # suppress borders (descriptor patch support)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    inb = (
+        (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    )
+    score = jnp.where(inb, score, 0.0)
+
+    if grid_cells <= 0:
+        grid_cells = max(2, int(np.sqrt(max_keypoints / 2.0)))
+    gh = max(1, H // grid_cells)
+    gw = max(1, W // grid_cells)
+    # pad to multiple of cell size
+    Hp = ((H + gh - 1) // gh) * gh
+    Wp = ((W + gw - 1) // gw) * gw
+    sp = jnp.zeros((Hp, Wp), score.dtype).at[:H, :W].set(score)
+    ncy, ncx = Hp // gh, Wp // gw
+    cells = sp.reshape(ncy, gh, ncx, gw).transpose(0, 2, 1, 3).reshape(
+        ncy * ncx, gh * gw
+    )
+    per_cell = min(
+        max(1, int(np.ceil(2.0 * max_keypoints / (ncy * ncx)))), gh * gw
+    )
+    vals, idx = jax.lax.top_k(cells, per_cell)  # (C, per_cell)
+    # convert cell-local flat idx -> global (y, x)
+    cy = jnp.arange(ncy * ncx) // ncx
+    cx = jnp.arange(ncy * ncx) % ncx
+    ly = idx // gw
+    lx = idx % gw
+    gy = cy[:, None] * gh + ly
+    gx = cx[:, None] * gw + lx
+    flat_vals = vals.reshape(-1)
+    flat_y = gy.reshape(-1)
+    flat_x = gx.reshape(-1)
+    k = min(max_keypoints, flat_vals.shape[0])
+    top_vals, top_i = jax.lax.top_k(flat_vals, k)
+    sel_y = flat_y[top_i]
+    sel_x = flat_x[top_i]
+    mask = top_vals > 0.0
+    xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.float32)
+    if k < max_keypoints:
+        pad = max_keypoints - k
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
+        top_vals = jnp.concatenate([top_vals, jnp.zeros((pad,), top_vals.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    return xy, top_vals, mask
+
+
+def refine_subpixel(score: jax.Array, xy: jax.Array, mask: jax.Array):
+    """Quadratic 3x3 subpixel refinement of keypoint locations."""
+    H, W = score.shape
+    x = xy[:, 0].astype(jnp.int32)
+    y = xy[:, 1].astype(jnp.int32)
+    x = jnp.clip(x, 1, W - 2)
+    y = jnp.clip(y, 1, H - 2)
+
+    def g(dy, dx):
+        return score[y + dy, x + dx]
+
+    dx = 0.5 * (g(0, 1) - g(0, -1))
+    dy = 0.5 * (g(1, 0) - g(-1, 0))
+    dxx = g(0, 1) + g(0, -1) - 2.0 * g(0, 0)
+    dyy = g(1, 0) + g(-1, 0) - 2.0 * g(0, 0)
+    ox = jnp.where(jnp.abs(dxx) > 1e-9, -dx / dxx, 0.0)
+    oy = jnp.where(jnp.abs(dyy) > 1e-9, -dy / dyy, 0.0)
+    ox = jnp.clip(ox, -0.5, 0.5)
+    oy = jnp.clip(oy, -0.5, 0.5)
+    out = jnp.stack(
+        [x.astype(jnp.float32) + ox, y.astype(jnp.float32) + oy], axis=-1
+    )
+    return jnp.where(mask[:, None], out, xy)
+
+
+# ---------------------------------------------------------------------------
+# patches + orientation
+# ---------------------------------------------------------------------------
+
+
+def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
+    """(K, patch, patch) patches centered on integer keypoint locations."""
+    H, W = img.shape
+    r = patch // 2
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W - patch)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, H - patch)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (patch, patch))
+
+    return jax.vmap(one)(y0, x0)
+
+
+def orientation_ic(patches: jax.Array) -> jax.Array:
+    """ORB intensity-centroid orientation per patch (K,) radians."""
+    P = patches.shape[-1]
+    r = P // 2
+    ys = jnp.arange(P) - r
+    xs = jnp.arange(P) - r
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    circ = (yy**2 + xx**2 <= r * r).astype(patches.dtype)
+    m01 = jnp.sum(patches * (yy * circ)[None], axis=(-1, -2))
+    m10 = jnp.sum(patches * (xx * circ)[None], axis=(-1, -2))
+    return jnp.arctan2(m01, m10)
+
+
+# ---------------------------------------------------------------------------
+# BRIEF-256 (steered) binary descriptor
+# ---------------------------------------------------------------------------
+
+
+def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 3) -> np.ndarray:
+    """Fixed Gaussian test pattern (n_bits, 2 points, 2 coords).
+
+    BRIEF's isotropic Gaussian sampling (sigma = patch/5) — the pattern the
+    original BRIEF paper found best; ORB's learned pattern is a tuned
+    variant of the same family.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = patch / 5.0
+    r = patch // 2 - 2
+    pts = rng.normal(scale=sigma, size=(n_bits, 2, 2))
+    return np.clip(pts, -r, r).astype(np.float32)
+
+
+_BRIEF_PTS = jnp.asarray(_brief_pattern())  # (256, 2, 2) as (dx, dy)
+
+
+def _bilinear_sample(patch: jax.Array, pts: jax.Array) -> jax.Array:
+    """Sample (M, 2) float offsets (dx, dy) from a (P, P) patch (center origin)."""
+    P = patch.shape[-1]
+    c = (P - 1) / 2.0
+    x = jnp.clip(pts[:, 0] + c, 0.0, P - 1.001)
+    y = jnp.clip(pts[:, 1] + c, 0.0, P - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = patch[y0, x0]
+    v01 = patch[y0, x0 + 1]
+    v10 = patch[y0 + 1, x0]
+    v11 = patch[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def brief_descriptor(
+    patches: jax.Array, angles: jax.Array, oriented: bool = True
+) -> jax.Array:
+    """Rotation-steered BRIEF-256 -> (K, 8) packed uint32.
+
+    The binary-family representative (ORB/BRISK/FREAK/LATCH registry rows in
+    features.cpp:849-971 map here).
+    """
+    if not oriented:
+        angles = jnp.zeros_like(angles)
+    ca = jnp.cos(angles)
+    sa = jnp.sin(angles)
+
+    def one(patch, c, s):
+        rot = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+        pts = _BRIEF_PTS.reshape(-1, 2) @ rot.T  # (512, 2)
+        vals = _bilinear_sample(patch, pts).reshape(-1, 2)  # (256, 2)
+        bits = (vals[:, 0] < vals[:, 1]).astype(jnp.uint32)  # (256,)
+        words = bits.reshape(8, 32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+
+    return jax.vmap(one)(patches, ca, sa)
+
+
+# ---------------------------------------------------------------------------
+# SIFT-like float descriptor
+# ---------------------------------------------------------------------------
+
+
+def sift_descriptor(
+    patches: jax.Array, angles: jax.Array, oriented: bool = True
+) -> jax.Array:
+    """4x4 x 8-bin gradient-orientation histogram -> (K, 128) float32.
+
+    The float-family representative (SIFT/SURF/DAISY/VGG registry rows).
+    Gradients are rotated into the keypoint frame; spatial bins use hard
+    assignment with Gaussian radial weighting; the result is L2-normalized,
+    clamped at 0.2 and renormalized (Lowe's scheme).
+    """
+    K, P, _ = patches.shape
+    if not oriented:
+        angles = jnp.zeros_like(angles)
+    gx = 0.5 * (jnp.roll(patches, -1, axis=2) - jnp.roll(patches, 1, axis=2))
+    gy = 0.5 * (jnp.roll(patches, -1, axis=1) - jnp.roll(patches, 1, axis=1))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ori = jnp.arctan2(gy, gx) - angles[:, None, None]
+
+    c = (P - 1) / 2.0
+    ys = (jnp.arange(P) - c) / c  # [-1, 1]
+    xs = (jnp.arange(P) - c) / c
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    # rotate coords into keypoint frame
+    ca = jnp.cos(-angles)[:, None, None]
+    sa = jnp.sin(-angles)[:, None, None]
+    xr = ca * xx[None] - sa * yy[None]
+    yr = sa * xx[None] + ca * yy[None]
+    w_gauss = jnp.exp(-(xx**2 + yy**2) / (2 * 0.6**2))[None]
+
+    # spatial bins: 4x4 over [-1, 1]
+    bx = jnp.clip(((xr + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    by = jnp.clip(((yr + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    # orientation bins: 8 over [0, 2pi)
+    two_pi = 2.0 * jnp.pi
+    ob = jnp.clip(
+        ((ori % two_pi) / two_pi * 8.0).astype(jnp.int32), 0, 7
+    )
+    bin_idx = (by * 4 + bx) * 8 + ob  # (K, P, P) in [0, 128)
+    wts = (mag * w_gauss).reshape(K, -1)
+    flat_idx = bin_idx.reshape(K, -1)
+    onehot = jax.nn.one_hot(flat_idx, 128, dtype=patches.dtype)  # (K, P*P, 128)
+    desc = jnp.einsum("kp,kpb->kb", wts, onehot)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    return desc
+
+
+# ---------------------------------------------------------------------------
+# top-level detect + describe
+# ---------------------------------------------------------------------------
+
+_DETECTOR_FNS = {
+    "FAST": lambda img, cfg: fast_score(img, cfg.fast_threshold / 255.0),
+    "HARRIS": lambda img, cfg: harris_score(img),
+    "SHITOMASI": lambda img, cfg: shi_tomasi_score(img),
+    # ORB = FAST detection with Harris-rank ordering; on the grid-top-k
+    # selection path plain FAST score ordering is equivalent in effect
+    "ORB": lambda img, cfg: fast_score(img, cfg.fast_threshold / 255.0),
+}
+
+# registry aliases: reference detector names -> implemented families
+# (features.cpp:792-847; README.md:47-66)
+DETECTOR_ALIASES = {
+    "FAST": "FAST", "ORB": "ORB", "HARRIS": "HARRIS", "GFTT": "SHITOMASI",
+    "SHITOMASI": "SHITOMASI", "BRISK": "FAST", "AKAZE": "SHITOMASI",
+    "KAZE": "SHITOMASI", "SIFT": "SHITOMASI", "SURF": "HARRIS",
+    "STAR": "HARRIS", "MSD": "HARRIS", "MSER": "SHITOMASI",
+}
+
+DESCRIPTOR_ALIASES = {
+    # binary family -> BRIEF-256
+    "ORB": "BRIEF", "BRISK": "BRIEF", "FREAK": "BRIEF", "LATCH": "BRIEF",
+    "AKAZE": "BRIEF", "KAZE_BIN": "BRIEF", "BGM": "BRIEF", "BGM_HARD": "BRIEF",
+    "BGM_BILINEAR": "BRIEF", "LBGM": "BRIEF", "BINBOOST_64": "BRIEF",
+    "BINBOOST_128": "BRIEF", "BINBOOST_256": "BRIEF", "BOLD": "BRIEF",
+    # float family -> SIFT-like
+    "SIFT": "SIFT", "SURF": "SIFT", "DAISY": "SIFT", "KAZE": "SIFT",
+    "VGG_120": "SIFT", "VGG_80": "SIFT", "VGG_64": "SIFT", "VGG_48": "SIFT",
+    "RIFF": "SIFT",
+}
+
+
+def is_binary_descriptor(name: str) -> bool:
+    return DESCRIPTOR_ALIASES.get(name.upper(), "BRIEF") == "BRIEF"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_keypoints(img: jax.Array, cfg: DetectorConfig) -> Keypoints:
+    """getKeypoints equivalent (features.cpp:145): score -> NMS -> grid top-k.
+
+    img: (H, W) float32 in [0, 1]. Returns fixed-capacity Keypoints.
+    """
+    kind = DETECTOR_ALIASES.get(cfg.kind.upper(), "FAST")
+    score = _DETECTOR_FNS[kind](img, cfg)
+    score = nms(score, cfg.nms_radius)
+    xy, sc, mask = select_keypoints_grid(
+        score, cfg.max_keypoints, cfg.grid_cells
+    )
+    xy = refine_subpixel(score, xy, mask)
+    return Keypoints(
+        xy=xy,
+        score=sc,
+        angle=jnp.zeros_like(sc),
+        scale=jnp.ones_like(sc),
+        mask=mask,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_descriptors(
+    img: jax.Array, kps: Keypoints, cfg: DescriptorConfig
+) -> tuple[jax.Array, Keypoints]:
+    """getDescriptors equivalent (features.cpp:397).
+
+    Returns (descriptors, keypoints-with-orientation). Binary descriptors
+    are (K, 8) uint32; float descriptors (K, 128) float32.
+    """
+    patches = extract_patches(img, kps.xy, cfg.patch_size)
+    angles = orientation_ic(patches) if cfg.oriented else jnp.zeros(
+        patches.shape[0], img.dtype
+    )
+    kind = DESCRIPTOR_ALIASES.get(cfg.kind.upper(), "BRIEF")
+    if kind == "BRIEF":
+        desc = brief_descriptor(patches, angles, cfg.oriented)
+    else:
+        desc = sift_descriptor(patches, angles, cfg.oriented)
+    return desc, kps._replace(angle=angles)
