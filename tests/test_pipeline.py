@@ -1,0 +1,118 @@
+"""End-to-end pipeline tests on the reference repo's bundled stereo data.
+
+This is the parity check of SURVEY.md §7's minimum slice: detect -> describe
+-> match -> robust 5pt pose on the KITTI-calibrated stereo pair, compared
+against the calibration extrinsics (the reference's own accuracy check:
+poselib-test --compInitPose prints R/t differences vs calib, main.cpp).
+"""
+
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from matchinglib_poselib_tpu.config import (
+    DetectorConfig, DescriptorConfig, MatchingConfig, PoseConfig, RobustConfig,
+)
+from matchinglib_poselib_tpu.models import pipeline
+from matchinglib_poselib_tpu.ops import geometry as geo
+from matchinglib_poselib_tpu.utils import io
+
+STEREO_DIR = pathlib.Path(
+    "/root/reference/matchinglib_poselib/source/tests/poselib-test/imgs/stereo"
+)
+
+pytestmark = pytest.mark.skipif(
+    not STEREO_DIR.exists(), reason="reference stereo data not available"
+)
+
+
+@pytest.fixture(scope="module")
+def calib():
+    return io.load_kitti_calib(STEREO_DIR / "calib_cam_to_cam.txt")
+
+
+@pytest.fixture(scope="module")
+def stereo_pair():
+    img1 = io.load_image_gray(STEREO_DIR / "left_0000000000.png")
+    img2 = io.load_image_gray(STEREO_DIR / "right_0000000000.png")
+    return jnp.asarray(img1), jnp.asarray(img2)
+
+
+def test_correspondences_on_stereo_pair(stereo_pair):
+    img1, img2 = stereo_pair
+    corr = pipeline.get_correspondences(
+        img1, img2,
+        DetectorConfig(kind="FAST", max_keypoints=2048, fast_threshold=12.0),
+        DescriptorConfig(kind="ORB"),
+        MatchingConfig(matcher_name="GMBSOF"),
+    )
+    n = int(corr.n)
+    assert n > 200, f"only {n} correspondences"
+    # stereo pair: flow should be mostly horizontal (epipolar-ish)
+    m = np.asarray(corr.mask)
+    flow = np.asarray(corr.pts2)[m] - np.asarray(corr.pts1)[m]
+    assert np.median(np.abs(flow[:, 1])) < 10.0
+
+
+def test_pose_matches_calibration(stereo_pair, calib):
+    img1, img2 = stereo_pair
+    corr = pipeline.get_correspondences(
+        img1, img2,
+        DetectorConfig(kind="FAST", max_keypoints=2048, fast_threshold=12.0),
+        DescriptorConfig(kind="ORB"),
+        MatchingConfig(matcher_name="GMBSOF"),
+    )
+    pose_cfg = PoseConfig(
+        robust=RobustConfig(batch_hypotheses=256, max_batches=6)
+    )
+    pose = pipeline.estimate_pose(
+        corr.pts1, corr.pts2, corr.mask, corr.quality,
+        jnp.asarray(calib.K0, jnp.float32),
+        jnp.asarray(calib.K1, jnp.float32),
+        jnp.asarray(calib.dist0, jnp.float32),
+        jnp.asarray(calib.dist1, jnp.float32),
+        pose_cfg,
+        jax.random.PRNGKey(0),
+    )
+    assert int(pose.n_inliers) > 100
+    rdiff, tang, _ = geo.compare_poses(
+        jnp.asarray(calib.R, jnp.float32),
+        jnp.asarray(calib.t, jnp.float32),
+        pose.R, pose.t,
+    )
+    # reference parity: poselib-test reports sub-degree agreement with calib
+    assert float(rdiff) < 1.0, f"rotation error {float(rdiff)} deg"
+    assert float(tang) < 3.0, f"translation direction error {float(tang)} deg"
+
+
+def test_pose_consistency_across_frames(calib):
+    """Pose must be stable across different frames of the same rig."""
+    pose_cfg = PoseConfig(robust=RobustConfig(batch_hypotheses=256, max_batches=4))
+    poses = []
+    for idx in (1, 5):
+        img1 = jnp.asarray(io.load_image_gray(STEREO_DIR / f"left_{idx:010d}.png"))
+        img2 = jnp.asarray(io.load_image_gray(STEREO_DIR / f"right_{idx:010d}.png"))
+        corr = pipeline.get_correspondences(
+            img1, img2,
+            DetectorConfig(kind="FAST", max_keypoints=2048, fast_threshold=12.0),
+            DescriptorConfig(kind="ORB"),
+            MatchingConfig(matcher_name="GMBSOF"),
+        )
+        pose = pipeline.estimate_pose(
+            corr.pts1, corr.pts2, corr.mask, corr.quality,
+            jnp.asarray(calib.K0, jnp.float32),
+            jnp.asarray(calib.K1, jnp.float32),
+            jnp.asarray(calib.dist0, jnp.float32),
+            jnp.asarray(calib.dist1, jnp.float32),
+            pose_cfg,
+            jax.random.PRNGKey(idx),
+        )
+        poses.append(pose)
+    rdiff, tang, _ = geo.compare_poses(
+        poses[0].R, poses[0].t, poses[1].R, poses[1].t
+    )
+    assert float(rdiff) < 1.0
+    assert float(tang) < 3.0
