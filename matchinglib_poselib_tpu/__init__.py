@@ -16,6 +16,14 @@ See SURVEY.md at the repo root for the reference blueprint.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry/solver math needs true f32 matmuls: the TPU default (bf16 MXU
+# passes) introduces ~1e-3 error, which breaks essential-matrix SVDs and
+# rotation orthonormality. Kernels that tolerate or exploit bf16 (descriptor
+# Hamming/L2 distance matrices) request lower precision explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from matchinglib_poselib_tpu.config import (  # noqa: F401
     MatchingConfig,
     PoseConfig,

@@ -256,16 +256,19 @@ def refine_subpixel(score: jax.Array, xy: jax.Array, mask: jax.Array):
 
 
 def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
-    """(K, patch, patch) patches centered on integer keypoint locations."""
+    """(K, patch, patch) patches centered on integer keypoint locations.
+
+    One fused XLA gather (advanced indexing) — K separate dynamic_slices
+    serialize badly on TPU (~50ms for 2k patches vs <1ms for the gather).
+    """
     H, W = img.shape
     r = patch // 2
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W - patch)
     y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, H - patch)
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (patch, patch))
-
-    return jax.vmap(one)(y0, x0)
+    dy = jnp.arange(patch)
+    rows = y0[:, None] + dy  # (K, P)
+    cols = x0[:, None] + dy
+    return img[rows[:, :, None], cols[:, None, :]]
 
 
 def orientation_ic(patches: jax.Array) -> jax.Array:
@@ -303,20 +306,22 @@ def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 3) -> np.ndar
 _BRIEF_PTS = jnp.asarray(_brief_pattern())  # (256, 2, 2) as (dx, dy)
 
 
-def _bilinear_sample(patch: jax.Array, pts: jax.Array) -> jax.Array:
-    """Sample (M, 2) float offsets (dx, dy) from a (P, P) patch (center origin)."""
-    P = patch.shape[-1]
-    c = (P - 1) / 2.0
-    x = jnp.clip(pts[:, 0] + c, 0.0, P - 1.001)
-    y = jnp.clip(pts[:, 1] + c, 0.0, P - 1.001)
+def _bilinear_sample_image(img: jax.Array, x: jax.Array, y: jax.Array):
+    """Bilinear sample arbitrary-shaped float coords from a (H, W) image.
+
+    Four fused gathers — TPU-friendly (no per-keypoint loops).
+    """
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = patch[y0, x0]
-    v01 = patch[y0, x0 + 1]
-    v10 = patch[y0 + 1, x0]
-    v11 = patch[y0 + 1, x0 + 1]
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
     return (
         v00 * (1 - fy) * (1 - fx)
         + v01 * (1 - fy) * fx
@@ -325,29 +330,66 @@ def _bilinear_sample(patch: jax.Array, pts: jax.Array) -> jax.Array:
     )
 
 
-def brief_descriptor(
-    patches: jax.Array, angles: jax.Array, oriented: bool = True
+def brief_descriptor_from_image(
+    img: jax.Array, xy: jax.Array, angles: jax.Array, oriented: bool = True
 ) -> jax.Array:
-    """Rotation-steered BRIEF-256 -> (K, 8) packed uint32.
+    """Rotation-steered BRIEF-256 sampled directly from the image.
 
-    The binary-family representative (ORB/BRISK/FREAK/LATCH registry rows in
-    features.cpp:849-971 map here).
+    (K, 8) packed uint32. The binary-family representative
+    (ORB/BRISK/FREAK/LATCH registry rows in features.cpp:849-971 map here).
+    All K*512 sample points are gathered in one fused bilinear lookup.
     """
     if not oriented:
         angles = jnp.zeros_like(angles)
-    ca = jnp.cos(angles)
-    sa = jnp.sin(angles)
+    ca = jnp.cos(angles)[:, None]
+    sa = jnp.sin(angles)[:, None]
+    pts = _BRIEF_PTS.reshape(-1, 2)  # (512, 2) as (dx, dy)
+    px, py = pts[:, 0][None, :], pts[:, 1][None, :]  # (1, 512)
+    gx = xy[:, 0:1] + ca * px - sa * py  # (K, 512)
+    gy = xy[:, 1:2] + sa * px + ca * py
+    vals = _bilinear_sample_image(img, gx, gy).reshape(-1, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
+    words = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
-    def one(patch, c, s):
-        rot = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
-        pts = _BRIEF_PTS.reshape(-1, 2) @ rot.T  # (512, 2)
-        vals = _bilinear_sample(patch, pts).reshape(-1, 2)  # (256, 2)
-        bits = (vals[:, 0] < vals[:, 1]).astype(jnp.uint32)  # (256,)
-        words = bits.reshape(8, 32)
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
 
-    return jax.vmap(one)(patches, ca, sa)
+def brief_descriptor(
+    patches: jax.Array, angles: jax.Array, oriented: bool = True
+) -> jax.Array:
+    """Patch-based steered BRIEF-256 (kept for patch-only callers)."""
+    if not oriented:
+        angles = jnp.zeros_like(angles)
+    P = patches.shape[-1]
+    c = (P - 1) / 2.0
+    ca = jnp.cos(angles)[:, None]
+    sa = jnp.sin(angles)[:, None]
+    pts = _BRIEF_PTS.reshape(-1, 2)
+    px, py = pts[:, 0][None, :], pts[:, 1][None, :]
+    gx = c + ca * px - sa * py  # (K, 512) patch coords
+    gy = c + sa * px + ca * py
+    # gather per patch via one fused take_along_axis on flattened patches
+    gx = jnp.clip(gx, 0.0, P - 1.001)
+    gy = jnp.clip(gy, 0.0, P - 1.001)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    flat = patches.reshape(patches.shape[0], P * P)
+
+    def tk(yy, xx):
+        return jnp.take_along_axis(flat, yy * P + xx, axis=1)
+
+    vals = (
+        tk(y0, x0) * (1 - fy) * (1 - fx)
+        + tk(y0, x0 + 1) * (1 - fy) * fx
+        + tk(y0 + 1, x0) * fy * (1 - fx)
+        + tk(y0 + 1, x0 + 1) * fy * fx
+    ).reshape(-1, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
+    words = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +521,7 @@ def compute_descriptors(
     )
     kind = DESCRIPTOR_ALIASES.get(cfg.kind.upper(), "BRIEF")
     if kind == "BRIEF":
-        desc = brief_descriptor(patches, angles, cfg.oriented)
+        desc = brief_descriptor_from_image(img, kps.xy, angles, cfg.oriented)
     else:
         desc = sift_descriptor(patches, angles, cfg.oriented)
     return desc, kps._replace(angle=angles)

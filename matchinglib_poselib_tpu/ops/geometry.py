@@ -171,14 +171,20 @@ def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     denom = (
         Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
     )
-    return (num * num) / jnp.maximum(denom, 1e-12)
+    # a vanishing denominator means a degenerate model (e.g. E ~ 0), not a
+    # perfect fit — score it as a gross error, never as zero
+    return jnp.where(
+        denom > 1e-12, (num * num) / jnp.maximum(denom, 1e-12), 1e9
+    )
 
 
 def symmetric_epipolar_error(E, x1, x2) -> jax.Array:
     """Symmetric squared distance to epipolar lines (..., N)."""
     num, Ex1, Etx2 = epipolar_products(E, x1, x2)
-    d1 = (num * num) / jnp.maximum(Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2, 1e-12)
-    d2 = (num * num) / jnp.maximum(Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2, 1e-12)
+    g1 = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
+    g2 = Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    d1 = jnp.where(g1 > 1e-12, (num * num) / jnp.maximum(g1, 1e-12), 1e9)
+    d2 = jnp.where(g2 > 1e-12, (num * num) / jnp.maximum(g2, 1e-12), 1e9)
     return d1 + d2
 
 
@@ -366,19 +372,45 @@ def masked_stats(x: jax.Array, mask: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+def _solve3_cramer(A, b):
+    """Batched 3x3 solve via the adjugate (closed form, pure VPU math).
+
+    A: (..., 3, 3), b: (..., 3). TPU-native: avoids LU, which serializes
+    for tiny batched systems.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    x0 = (c00 * b[..., 0] + c10 * b[..., 1] + c20 * b[..., 2]) / det
+    x1 = (c01 * b[..., 0] + c11 * b[..., 1] + c21 * b[..., 2]) / det
+    x2 = (c02 * b[..., 0] + c12 * b[..., 1] + c22 * b[..., 2]) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def triangulate_linear(R, t, x1, x2):
-    """Two-view midpoint-free linear (DLT) triangulation in camera-1 frame.
+    """Two-view linear (DLT) triangulation in camera-1 frame.
 
     Cameras P1 = [I|0], P2 = [R|t]; x1, x2 normalized coords (..., N, 2).
-    Solves the 4x4 homogeneous system per point via the eigenvector of
-    A^T A with the smallest eigenvalue (TPU-friendly symmetric eigensolve
-    on 4x4). Reference equivalent: five-point.cpp triangulation inside
-    recoverPose (:150-250) and triangPts3D (pose_estim.cpp:964).
+    Solves the inhomogeneous 4x3 DLT system (w = 1) by 3x3 normal equations
+    with a closed-form Cramer solve — fully vectorized VPU math (a batched
+    4x4 eigendecomposition costs ~100x more on TPU). Reference equivalent:
+    five-point.cpp triangulation inside recoverPose (:150-250) and
+    triangPts3D (pose_estim.cpp:964).
 
     Returns (..., N, 3) points in camera-1 coordinates.
     """
     shape = x1.shape[:-1]
-    # rows of A: x1x*P1[2]-P1[0]; x1y*P1[2]-P1[1]; same for P2
     P1 = jnp.broadcast_to(
         jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1),
         R.shape[:-2] + (3, 4),
@@ -394,15 +426,12 @@ def triangulate_linear(R, t, x1, x2):
 
     a0, a1 = rows(P1, x1)
     a2, a3 = rows(P2, x2)
-    A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., :, 0]  # smallest eigenvalue eigenvector
-    w = X[..., 3]
-    sign = jnp.where(w < 0, -1.0, 1.0)
-    X = X * sign[..., None]
-    w = jnp.abs(w)
-    pts = X[..., :3] / jnp.maximum(w, 1e-12)[..., None]
+    A4 = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
+    Am = A4[..., :3]  # coefficients of (X, Y, Z)
+    bv = -A4[..., 3]  # move the w-column to the rhs (w = 1)
+    AtA = jnp.swapaxes(Am, -1, -2) @ Am
+    Atb = jnp.einsum("...ij,...i->...j", Am, bv)
+    pts = _solve3_cramer(AtA, Atb)
     return pts.reshape(shape + (3,))
 
 

@@ -59,11 +59,21 @@ def bits_to_signs(desc: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def hamming_distance_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
-    """(N1, W) x (N2, W) packed uint32 -> (N1, N2) float32 Hamming distances."""
+    """(N1, W) x (N2, W) packed uint32 -> (N1, N2) float32 Hamming distances.
+
+    bf16 MXU passes are EXACT here: inputs are ±1 and the f32 accumulator
+    carries the integer dot product without rounding, so the fast matmul
+    path is explicitly requested.
+    """
     s1 = bits_to_signs(d1)
     s2 = bits_to_signs(d2)
     bits = s1.shape[-1]
-    dot = jnp.dot(s1, s2.T, preferred_element_type=jnp.float32)
+    dot = jnp.dot(
+        s1,
+        s2.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     return 0.5 * (bits - dot)
 
 

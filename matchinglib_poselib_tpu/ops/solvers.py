@@ -102,6 +102,73 @@ _VINV_T = jnp.asarray(_VINV64.T, jnp.float32)  # (20, 20): C = F @ VINV^T
 # ---------------------------------------------------------------------------
 
 
+def solve_small(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Batched dense solve for tiny systems, unrolled Gaussian elimination.
+
+    A: (..., n, n), B: (..., n, m) with small static n (<= ~20).
+    XLA's LU (jnp.linalg.solve) serializes catastrophically on TPU for tiny
+    batched matrices (~100x slower than this); here every elimination step
+    is a fully vectorized rank-1 update with partial pivoting via argmax +
+    gather. Singular systems produce inf/nan (callers mask on isfinite).
+    """
+    n = A.shape[-1]
+    M = jnp.concatenate([A, B], axis=-1)  # (..., n, n+m)
+    rows = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(M[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        p = jnp.argmax(col, axis=-1)  # (...,)
+        # swap rows k <-> p via a permuted gather: idx[k]=p, idx[p]=k
+        idx = jnp.where(
+            rows == k, p[..., None], jnp.where(rows == p[..., None], k, rows)
+        )
+        M = jnp.take_along_axis(M, idx[..., :, None], axis=-2)
+        piv = M[..., k, k]
+        piv = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        factor = M[..., :, k] / piv[..., None]
+        factor = jnp.where(rows > k, factor, 0.0)
+        M = M - factor[..., :, None] * M[..., k : k + 1, :]
+    # back substitution (unrolled)
+    X = jnp.zeros(A.shape[:-2] + (n, B.shape[-1]), A.dtype)
+    for k in reversed(range(n)):
+        rhs = M[..., k, n:]
+        acc = jnp.einsum(
+            "...j,...jm->...m", M[..., k, k + 1 : n], X[..., k + 1 :, :]
+        )
+        piv = M[..., k, k]
+        piv = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        xk = (rhs - acc) / piv[..., None]
+        X = X.at[..., k, :].set(xk)
+    return X
+
+
+def det_small(A: jax.Array) -> jax.Array:
+    """Batched determinant of tiny (n, n) matrices via unrolled elimination.
+
+    Same motivation as solve_small: jnp.linalg.det's LU serializes on TPU.
+    Partial pivoting with sign tracking; fully vectorized over the batch.
+    """
+    n = A.shape[-1]
+    M = A
+    rows = jnp.arange(n)
+    det = jnp.ones(A.shape[:-2], A.dtype)
+    for k in range(n):
+        col = jnp.abs(M[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        p = jnp.argmax(col, axis=-1)
+        idx = jnp.where(
+            rows == k, p[..., None], jnp.where(rows == p[..., None], k, rows)
+        )
+        M = jnp.take_along_axis(M, idx[..., :, None], axis=-2)
+        det = det * jnp.where(p == k, 1.0, -1.0)
+        piv = M[..., k, k]
+        det = det * piv
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        factor = jnp.where(rows > k, M[..., :, k] / safe[..., None], 0.0)
+        M = M - factor[..., :, None] * M[..., k : k + 1, :]
+    return det
+
+
 def nullspace_from_ata(A: jax.Array, k: int) -> jax.Array:
     """k smallest-eigenvalue eigenvectors of A^T A. A: (..., M, N) -> (..., N, k)."""
     AtA = jnp.swapaxes(A, -1, -2) @ A
@@ -156,7 +223,7 @@ def _action_matrix(C: jax.Array):
     """
     C_hi = C[..., :, :10]
     C_lo = C[..., :, 10:]
-    B = jnp.linalg.solve(C_hi, C_lo)  # (..., 10, 10)
+    B = solve_small(C_hi, C_lo)  # (..., 10, 10)
     ok = jnp.all(jnp.isfinite(B), axis=(-1, -2))
     B = jnp.where(ok[..., None, None], B, jnp.zeros_like(B))
 
@@ -169,37 +236,102 @@ def _action_matrix(C: jax.Array):
     return Mz, ok
 
 
-def _scaled_char(M: jax.Array, lam: jax.Array) -> jax.Array:
-    """g(lam) = det((M - lam I) / sqrt(1 + lam^2)) — bounded for |lam|→inf.
-
-    M: (..., 10, 10); lam: (...,) broadcastable. Returns (...,).
-    """
-    n = M.shape[-1]
-    s = jax.lax.rsqrt(1.0 + lam * lam)
-    A = (M - lam[..., None, None] * jnp.eye(n, dtype=M.dtype)) * s[..., None, None]
-    return jnp.linalg.det(A)
-
-
 _N_THETA = 129  # sign-scan resolution
 _N_BISECT = 42  # fixed bisection iterations (theta space)
 _MAX_ROOTS = 10
 
 
-def _real_eigenvalues(M: jax.Array):
-    """Real eigenvalues of batched 10x10 matrices by det sign scan + bisection.
+def hessenberg(M: jax.Array):
+    """Batched Householder reduction to upper Hessenberg form.
 
-    Returns (roots, valid) with shapes (..., 10). Complex eigenvalues are
-    (correctly) skipped; tight double real roots without a sign change are
-    missed — harmless under RANSAC (that hypothesis is simply not produced).
+    M: (..., n, n) -> (H, Q) with M = Q H Q^T. Unrolled n-2 reflection
+    steps, each a rank-1 update — fully vectorized over the batch (the
+    enabler for Hyman determinant evaluation below).
     """
-    dtype = M.dtype
+    n = M.shape[-1]
+    H = M
+    Q = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    rows = jnp.arange(n)
+    for k in range(n - 2):
+        x = H[..., :, k]
+        maskv = rows > k  # entries below the subdiagonal pivot row k+1..n-1
+        xm = jnp.where(maskv, x, 0.0)
+        normx = jnp.linalg.norm(xm, axis=-1)
+        x0 = H[..., k + 1, k]
+        alpha = -jnp.sign(jnp.where(x0 == 0, 1.0, x0)) * normx
+        v = xm - alpha[..., None] * (rows == (k + 1)).astype(M.dtype)
+        vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = v / jnp.where(vn > 1e-20, vn, 1.0)
+        # H <- P H P with P = I - 2 v v^T (v supported on rows > k)
+        Hv = jnp.einsum("...ij,...j->...i", H, v)
+        vH = jnp.einsum("...i,...ij->...j", v, H)
+        vHv = jnp.einsum("...i,...i->...", v, Hv)
+        H = (
+            H
+            - 2.0 * v[..., :, None] * vH[..., None, :]
+            - 2.0 * Hv[..., :, None] * v[..., None, :]
+            + 4.0 * vHv[..., None, None] * v[..., :, None] * v[..., None, :]
+        )
+        Qv = jnp.einsum("...ij,...j->...i", Q, v)
+        Q = Q - 2.0 * Qv[..., :, None] * v[..., None, :]
+    return H, Q
+
+
+def _hyman(H: jax.Array, lam: jax.Array):
+    """Hyman's method on upper Hessenberg H: sign-equivalent det + null vec.
+
+    H: (..., n, n); lam: (...,) broadcastable to H batch. Returns (r, x):
+    det(H - lam I) = r * prod(subdiagonals) * (-1)^(n-1); the product is
+    constant in lam, so sign changes of r over lam locate eigenvalues.
+    x (..., n) solves rows 2..n of (H - lam I) x = 0 with x_{n-1} = 1 — at
+    a converged eigenvalue it IS the eigenvector (in Hessenberg basis).
+    Per-step positive renormalization prevents overflow without affecting
+    sign-change detection. No pivoting, no gathers: n-1 unrolled
+    O(n)-vector steps (this is why it replaces LU determinant scans, which
+    are ~50x slower on TPU).
+    """
+    n = H.shape[-1]
+    xs = [None] * n
+    xs[n - 1] = jnp.ones_like(lam)
+    for i in range(n - 1, 0, -1):
+        # row i: sum_{j >= i} H[i, j] x_j - lam * x_i + H[i, i-1] x_{i-1} = 0
+        s = -lam * xs[i]
+        for j in range(i, n):
+            s = s + H[..., i, j] * xs[j]
+        sub = H[..., i, i - 1]
+        sub = jnp.where(jnp.abs(sub) > 1e-25, sub, 1e-25)
+        xi = -s / sub
+        # renormalize all defined entries by a positive factor to keep
+        # magnitudes bounded (sign of r unaffected)
+        m = jnp.maximum(jnp.abs(xi), 1.0)
+        xs[i - 1] = xi / m
+        for j in range(i, n):
+            xs[j] = xs[j] / m
+    r = -lam * xs[0]
+    for j in range(n):
+        r = r + H[..., 0, j] * xs[j]
+    return r, jnp.stack(xs, axis=-1)
+
+
+def _real_eigenvalues_hess(H: jax.Array):
+    """Real eigenvalues of batched upper-Hessenberg matrices.
+
+    Sign scan of Hyman's r(lam) on a tan-parametrized grid + fixed-count
+    bisection. Returns (roots, valid) (..., 10). Complex eigenvalues are
+    (correctly) skipped; tight double real roots without a sign change are
+    missed — harmless under RANSAC (that hypothesis is simply not
+    produced).
+    """
+    dtype = H.dtype
     eps = 1e-3
     theta = jnp.linspace(
         -jnp.pi / 2 + eps, jnp.pi / 2 - eps, _N_THETA, dtype=dtype
     )
-    lam = jnp.tan(theta)  # (S,)
-    batch = M.shape[:-2]
-    g = _scaled_char(M[..., None, :, :], jnp.broadcast_to(lam, batch + (_N_THETA,)))
+    lam = jnp.tan(theta)
+    batch = H.shape[:-2]
+    g, _ = _hyman(
+        H[..., None, :, :], jnp.broadcast_to(lam, batch + (_N_THETA,))
+    )
     sign = jnp.sign(g)
     flips = sign[..., :-1] * sign[..., 1:] < 0  # (..., S-1)
 
@@ -212,12 +344,13 @@ def _real_eigenvalues(M: jax.Array):
 
     lo = theta[cand]  # (..., 10)
     hi = theta[cand + 1]
-    g_lo = _scaled_char(M[..., None, :, :], jnp.tan(lo))
+    Hr = H[..., None, :, :]
+    g_lo, _ = _hyman(Hr, jnp.tan(lo))
 
     def body(_, carry):
         lo, hi, g_lo = carry
         mid = 0.5 * (lo + hi)
-        g_mid = _scaled_char(M[..., None, :, :], jnp.tan(mid))
+        g_mid, _ = _hyman(Hr, jnp.tan(mid))
         left = g_lo * g_mid <= 0
         hi = jnp.where(left, mid, hi)
         lo_new = jnp.where(left, lo, mid)
@@ -229,25 +362,19 @@ def _real_eigenvalues(M: jax.Array):
     return roots, valid
 
 
-def _eigenvector_xy(M: jax.Array, z: jax.Array, valid: jax.Array):
+def _eigenvector_xy_hess(
+    H: jax.Array, Q: jax.Array, z: jax.Array, valid: jax.Array
+):
     """x, y from the quotient-basis eigenvector of M_z for eigenvalue z.
 
-    Regularized inverse iteration: v <- normalize((M - z I + eps I)^-1 v).
-    M: (..., 10, 10); z: (..., R). Returns x, y, ok each (..., R).
+    Free byproduct of Hyman's recurrence: at a converged eigenvalue, the
+    back-substituted x solves rows 2..n of (H - z I) x = 0 exactly, i.e. it
+    IS the eigenvector in the Hessenberg basis; rotate back with Q.
+    H, Q: (..., 10, 10); z: (..., R). Returns x, y, ok each (..., R).
     """
-    n = M.shape[-1]
-    A = M[..., None, :, :] - z[..., None, None] * jnp.eye(n, dtype=M.dtype)
-    reg = 1e-5 * jnp.eye(n, dtype=M.dtype)
-    A = A + reg
-    v = jnp.ones(A.shape[:-1], M.dtype)
-
-    def body(_, v):
-        v = jnp.linalg.solve(A, v[..., None])[..., 0]
-        return v / jnp.maximum(
-            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20
-        )
-
-    v = jax.lax.fori_loop(0, 4, body, v)
+    _, xh = _hyman(H[..., None, :, :], z)  # (..., R, 10)
+    v = jnp.einsum("...ij,...rj->...ri", Q, xh)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
     w = v[..., _BASIS_1]
     ok = valid & (jnp.abs(w) > 1e-6) & jnp.all(jnp.isfinite(v), axis=-1)
     w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1.0)
@@ -295,7 +422,7 @@ def _polish_xyz(Ebasis: jax.Array, xyz: jax.Array, iters: int = 3) -> jax.Array:
         JtJ = jnp.einsum("bri,brj->bij", J, J)
         JtF = jnp.einsum("bri,br->bi", J, F)
         damp = 1e-8 * jnp.eye(3, dtype=p.dtype)
-        dp = jnp.linalg.solve(JtJ + damp, JtF[..., None])[..., 0]
+        dp = solve_small(JtJ + damp, JtF[..., None])[..., 0]
         dp = jnp.where(jnp.isfinite(dp), dp, jnp.zeros_like(dp))
         return p - dp
 
@@ -325,18 +452,25 @@ def solve_5pt(x1: jax.Array, x2: jax.Array):
     C = _constraint_values(Ebasis)  # (..., 10, 20) values at interp points
     C = C @ _VINV_T.astype(C.dtype)  # -> polynomial coefficients
     Mz, okA = _action_matrix(C)
-    roots, rvalid = _real_eigenvalues(Mz)
-    x, y, ok = _eigenvector_xy(Mz, roots, rvalid)
+    Hm, Qm = hessenberg(Mz)
+    roots, rvalid = _real_eigenvalues_hess(Hm)
+    x, y, ok = _eigenvector_xy_hess(Hm, Qm, roots, rvalid)
 
     xyz = jnp.stack([x, y, roots], axis=-1)  # (..., 10, 3)
     xyz = _polish_xyz(Ebasis, xyz)
+    # runaway solutions overflow ||E||^2 to inf in f32, making E/||E|| a
+    # ZERO matrix that would pass finite-ness checks — bound xyz first
+    ok = ok & jnp.all(jnp.abs(xyz) < 1e4, axis=-1) & jnp.all(
+        jnp.isfinite(xyz), axis=-1
+    )
+    xyz = jnp.clip(jnp.nan_to_num(xyz), -1e4, 1e4)
     coeffs = jnp.concatenate(
         [xyz, jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)], axis=-1
     )  # (..., 10, 4)
     E = jnp.einsum("...rb,...bij->...rij", coeffs, Ebasis)
     nrm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
     E = E / jnp.maximum(nrm, 1e-12)[..., None, None]
-    valid = ok & okA[..., None] & (nrm > 1e-9) & jnp.all(
+    valid = ok & okA[..., None] & (nrm > 1e-9) & jnp.isfinite(nrm) & jnp.all(
         jnp.isfinite(E), axis=(-1, -2)
     )
     E = jnp.where(valid[..., None, None], E, jnp.eye(3, dtype=E.dtype))
