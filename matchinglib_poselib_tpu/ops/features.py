@@ -258,8 +258,12 @@ def refine_subpixel(score: jax.Array, xy: jax.Array, mask: jax.Array):
 def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
     """(K, patch, patch) patches centered on integer keypoint locations.
 
-    One fused XLA gather (advanced indexing) — K separate dynamic_slices
-    serialize badly on TPU (~50ms for 2k patches vs <1ms for the gather).
+    MXU formulation: patch_k = RowSel_k @ img @ ColSel_k^T with one-hot
+    selector matrices, computed as two batched bf16 einsums. On TPU this is
+    ~20x faster than an arbitrary gather (XLA gathers serialize; one-hot
+    matmuls are exactly what the MXU is for). bf16 selectors are exact
+    (0/1); the image is rounded to bf16 (~3 decimal digits — immaterial for
+    intensity comparisons and gradient histograms).
     """
     H, W = img.shape
     r = patch // 2
@@ -268,7 +272,23 @@ def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
     dy = jnp.arange(patch)
     rows = y0[:, None] + dy  # (K, P)
     cols = x0[:, None] + dy
-    return img[rows[:, :, None], cols[:, None, :]]
+    rsel = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)  # (K, P, H)
+    csel = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)  # (K, P, W)
+    tmp = jnp.einsum(
+        "krh,hw->krw",
+        rsel,
+        img.astype(jnp.bfloat16),
+        preferred_element_type=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    patches = jnp.einsum(
+        "krw,kcw->krc",
+        tmp,
+        csel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return patches
 
 
 def orientation_ic(patches: jax.Array) -> jax.Array:
@@ -305,6 +325,35 @@ def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 3) -> np.ndar
 
 _BRIEF_PTS = jnp.asarray(_brief_pattern())  # (256, 2, 2) as (dx, dy)
 
+# ORB-style discretized rotations: precompute integer sample offsets for
+# N_ANGLE_BINS rotations of the pattern (OpenCV ORB uses 30 x 12deg bins and
+# rounded rotated offsets — features.cpp's ORB extractor does exactly this).
+# Sampling then becomes one bf16 selection matmul per bin on the MXU instead
+# of per-keypoint gathers.
+_N_ANGLE_BINS = 30
+_PATCH_FOR_TABLE = 31
+
+
+def _orb_selection_tables(patch: int = _PATCH_FOR_TABLE) -> np.ndarray:
+    pts = _brief_pattern(patch=patch).reshape(-1, 2)  # (512, 2) as (dx, dy)
+    r = patch // 2
+    tables = []
+    for b in range(_N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / _N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        gx = np.clip(np.rint(ca * pts[:, 0] - sa * pts[:, 1]), -r, r) + r
+        gy = np.clip(np.rint(sa * pts[:, 0] + ca * pts[:, 1]), -r, r) + r
+        tables.append((gy * patch + gx).astype(np.int32))
+    return np.stack(tables)  # (BINS, 512)
+
+
+_ORB_IDX = _orb_selection_tables()
+# (BINS, 512, patch*patch) one-hot selection tensor, bf16 (exact 0/1)
+_ORB_SEL = jnp.asarray(
+    np.eye(_PATCH_FOR_TABLE * _PATCH_FOR_TABLE, dtype=np.float32)[_ORB_IDX],
+    jnp.bfloat16,
+)
+
 
 def _bilinear_sample_image(img: jax.Array, x: jax.Array, y: jax.Array):
     """Bilinear sample arbitrary-shaped float coords from a (H, W) image.
@@ -330,28 +379,41 @@ def _bilinear_sample_image(img: jax.Array, x: jax.Array, y: jax.Array):
     )
 
 
-def brief_descriptor_from_image(
-    img: jax.Array, xy: jax.Array, angles: jax.Array, oriented: bool = True
-) -> jax.Array:
-    """Rotation-steered BRIEF-256 sampled directly from the image.
-
-    (K, 8) packed uint32. The binary-family representative
-    (ORB/BRISK/FREAK/LATCH registry rows in features.cpp:849-971 map here).
-    All K*512 sample points are gathered in one fused bilinear lookup.
-    """
-    if not oriented:
-        angles = jnp.zeros_like(angles)
-    ca = jnp.cos(angles)[:, None]
-    sa = jnp.sin(angles)[:, None]
-    pts = _BRIEF_PTS.reshape(-1, 2)  # (512, 2) as (dx, dy)
-    px, py = pts[:, 0][None, :], pts[:, 1][None, :]  # (1, 512)
-    gx = xy[:, 0:1] + ca * px - sa * py  # (K, 512)
-    gy = xy[:, 1:2] + sa * px + ca * py
-    vals = _bilinear_sample_image(img, gx, gy).reshape(-1, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
-    words = bits.reshape(-1, 8, 32)
+def _pack_bits(bits: jax.Array) -> jax.Array:
+    """(K, 256) {0,1} -> (K, 8) packed uint32."""
+    words = bits.astype(jnp.uint32).reshape(-1, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def brief_descriptor_orb(
+    patches: jax.Array, angles: jax.Array, oriented: bool = True
+) -> jax.Array:
+    """Steered BRIEF-256 via ORB-style discretized rotations -> (K, 8) u32.
+
+    The binary-family representative (ORB/BRISK/FREAK/LATCH registry rows
+    in features.cpp:849-971 map here). The keypoint angle is quantized to
+    one of 30 bins (OpenCV ORB semantics); sampling all bins is one
+    bf16 selection einsum on the MXU, then the keypoint's bin is mixed out
+    with a one-hot contraction — no gathers anywhere.
+    """
+    K, P, _ = patches.shape
+    if not oriented:
+        angles = jnp.zeros_like(angles)
+    pf = patches.reshape(K, P * P).astype(jnp.bfloat16)
+    samples = jnp.einsum(
+        "kp,bsp->kbs",
+        pf,
+        _ORB_SEL,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (K, BINS, 512)
+    two_pi = 2.0 * jnp.pi
+    binf = (angles % two_pi) / two_pi * _N_ANGLE_BINS
+    bin_idx = jnp.round(binf).astype(jnp.int32) % _N_ANGLE_BINS
+    oh = jax.nn.one_hot(bin_idx, _N_ANGLE_BINS, dtype=jnp.float32)
+    vals = jnp.einsum("kbs,kb->ks", samples, oh).reshape(K, 256, 2)
+    return _pack_bits(vals[..., 0] < vals[..., 1])
 
 
 def brief_descriptor(
@@ -521,7 +583,7 @@ def compute_descriptors(
     )
     kind = DESCRIPTOR_ALIASES.get(cfg.kind.upper(), "BRIEF")
     if kind == "BRIEF":
-        desc = brief_descriptor_from_image(img, kps.xy, angles, cfg.oriented)
+        desc = brief_descriptor_orb(patches, angles, cfg.oriented)
     else:
         desc = sift_descriptor(patches, angles, cfg.oriented)
     return desc, kps._replace(angle=angles)
