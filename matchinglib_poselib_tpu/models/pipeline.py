@@ -32,7 +32,7 @@ from matchinglib_poselib_tpu.config import (
     MatchingConfig,
     PoseConfig,
 )
-from matchinglib_poselib_tpu.ops import features, filters, geometry as geo
+from matchinglib_poselib_tpu.ops import ba, features, filters, geometry as geo
 from matchinglib_poselib_tpu.ops import matching, refine, robust
 
 
@@ -194,6 +194,25 @@ def estimate_pose(
         inl = jnp.where(keep, rres.inlier_mask, inl)
 
     R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(jnp.float32))
+
+    if cfg.ba.enabled:
+        # BART semantics (poselib-test --BART=1 -> refineStereoBA,
+        # pose_estim.cpp:1083): BA on the triangulated inliers, restore
+        # guards keep the pre-BA pose on suspicious updates. BA runs in
+        # normalized camera coordinates (K = I), so the pseudo-Huber delta
+        # is the pixel delta divided by the focal length.
+        eyeK = jnp.eye(3, dtype=x1.dtype)
+        bres = ba.refine_stereo_ba(
+            R, t, x1, x2, X,
+            (inl & ok3d).astype(jnp.float32),
+            eyeK, eyeK, cfg.ba,
+            huber_delta=cfg.ba.huber_delta / f_mean,
+        )
+        R, t, X = bres.R, bres.t, bres.points
+        E = geo.essential_from_rt(R, t)
+        err = geo.sampson_error(E, x1, x2)
+        inl = (err < res.threshold) & mask.astype(bool)
+
     n_inl = jnp.sum(inl).astype(jnp.int32)
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return PoseResult(

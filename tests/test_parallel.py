@@ -109,3 +109,59 @@ def test_pairs_sharded_pose_batch(rng):
         )
         assert float(rdiff) < 2.0, f"pair {b}: rot {float(rdiff)}"
         assert int(ninl[b]) > 0.5 * n
+
+
+def test_sharded_ba_matches_local(rng):
+    """Distributed BA (points sharded over the db axis) == local BA."""
+    from tests.conftest import random_pose
+    from matchinglib_poselib_tpu.ops import ba
+    from matchinglib_poselib_tpu.parallel.ba import bundle_adjust_sharded
+
+    m = pmesh.make_mesh(db_parallelism=4)
+    n = 256  # divisible by 4 shards
+    R, t = random_pose(rng, max_angle_deg=12.0)
+    t = t / np.linalg.norm(t)
+    X = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+         rng.uniform(4, 10, n)], axis=1,
+    )
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    obs = np.zeros((n, 2, 2))
+    for c, (Rc, tc) in enumerate([(np.eye(3), np.zeros(3)), (R, t)]):
+        Xc = X @ Rc.T + tc
+        xn = Xc[:, :2] / Xc[:, 2:3]
+        obs[:, c] = xn @ K[:2, :2].T + K[:2, 2]
+    obs += rng.normal(scale=0.2, size=obs.shape)
+
+    # perturbed init (small rotation via the exp map + structure noise)
+    dR = np.asarray(ba.exp_so3(jnp.asarray([0.004, -0.006, 0.003],
+                                           jnp.float32)), np.float64)
+    R0 = R @ dR
+    X0 = X + rng.normal(scale=0.01, size=X.shape)
+
+    args = dict(
+        obs=jnp.asarray(obs, jnp.float32),
+        vis=jnp.ones((n, 2), jnp.float32),
+        R=jnp.asarray(np.stack([np.eye(3), R0]), jnp.float32),
+        t=jnp.asarray(np.stack([np.zeros(3), t]), jnp.float32),
+        K=jnp.asarray(np.stack([K, K]), jnp.float32),
+        dist=jnp.zeros((2, 5), jnp.float32),
+        X=jnp.asarray(X0, jnp.float32),
+        free_cams=jnp.asarray([0.0, 1.0], jnp.float32),
+        iterations=8,
+    )
+    local = ba.bundle_adjust(**args)
+    shard = bundle_adjust_sharded(m, **args)
+    np.testing.assert_allclose(
+        np.asarray(shard.R), np.asarray(local.R), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.t), np.asarray(local.t), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.points), np.asarray(local.points), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        float(shard.final_cost), float(local.final_cost), rtol=1e-3
+    )
+    assert float(shard.final_cost) < float(shard.initial_cost)

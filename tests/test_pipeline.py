@@ -119,3 +119,44 @@ def test_pose_consistency_across_frames(calib):
     # (the streaming refiner, not single pairs, delivers calib-grade poses)
     assert float(rdiff) < 1.5
     assert float(tang) < 8.0
+
+
+def test_pose_with_ba_refinement(stereo_pair, calib):
+    """BART path: BA after pose recovery must not degrade (and usually
+    tightens) the calib agreement; guards protect against divergence."""
+    from matchinglib_poselib_tpu.config import BAConfig
+
+    img1, img2 = stereo_pair
+    corr = pipeline.get_correspondences(
+        img1, img2,
+        DetectorConfig(kind="FAST", max_keypoints=2048, fast_threshold=12.0),
+        DescriptorConfig(kind="ORB"),
+        MatchingConfig(matcher_name="GMBSOF"),
+    )
+    args = (
+        corr.pts1, corr.pts2, corr.mask, corr.quality,
+        jnp.asarray(calib.K0, jnp.float32),
+        jnp.asarray(calib.K1, jnp.float32),
+        jnp.asarray(calib.dist0, jnp.float32),
+        jnp.asarray(calib.dist1, jnp.float32),
+    )
+    key = jax.random.PRNGKey(0)
+    base_cfg = PoseConfig(robust=RobustConfig(batch_hypotheses=256, max_batches=6))
+    ba_cfg = PoseConfig(
+        robust=RobustConfig(batch_hypotheses=256, max_batches=6),
+        ba=BAConfig(enabled=True, iterations=12),
+    )
+    pose0 = pipeline.estimate_pose(*args, base_cfg, key)
+    pose1 = pipeline.estimate_pose(*args, ba_cfg, key)
+    r0, _, _ = geo.compare_poses(
+        jnp.asarray(calib.R, jnp.float32), jnp.asarray(calib.t, jnp.float32),
+        pose0.R, pose0.t,
+    )
+    r1, t1, _ = geo.compare_poses(
+        jnp.asarray(calib.R, jnp.float32), jnp.asarray(calib.t, jnp.float32),
+        pose1.R, pose1.t,
+    )
+    assert int(pose1.n_inliers) > 100
+    # BA (with restore guards) may keep the input pose but must stay accurate
+    assert float(r1) < max(1.0, 1.5 * float(r0))
+    assert float(t1) < 5.0
