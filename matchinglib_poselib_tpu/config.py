@@ -137,6 +137,15 @@ class RobustConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class HalignConfig:
+    """Pose from multi-plane homography alignment (reference:
+    pose_homography.cpp:127/291, HomographyAlignment.cpp)."""
+
+    max_planes: int = 3  # static plane-peeling rounds
+    min_plane_inliers: int = 20  # reference MIN_PTS_PLANE semantics
+
+
+@dataclasses.dataclass(frozen=True)
 class RefinementConfig:
     """Linear IRLS refinement (reference: pose_linear_refinement.cpp:85-640)."""
 
@@ -170,6 +179,10 @@ class PoseConfig:
     refine: RefinementConfig = RefinementConfig()
     ba: BAConfig = BAConfig()
     auto_th: bool = False  # AutoThEpi adaptation (pose_estim.cpp:82-300)
+    # Halign: pose via multi-plane homography alignment (poselib-test
+    # --Halign; pose_homography.cpp:127)
+    use_halign: bool = False
+    halign: HalignConfig = HalignConfig()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,7 +33,7 @@ from matchinglib_poselib_tpu.config import (
     PoseConfig,
 )
 from matchinglib_poselib_tpu.ops import ba, features, filters, geometry as geo
-from matchinglib_poselib_tpu.ops import matching, refine, robust
+from matchinglib_poselib_tpu.ops import homography_pose, matching, refine, robust
 
 
 class Correspondences(NamedTuple):
@@ -105,16 +105,16 @@ def get_correspondences(
             cell_px=match_cfg.sof_grid_px,
             validation_th=match_cfg.sof_validation_th,
         )
-        penalty = filters.sof_spatial_penalty(
-            field, kps1.xy, kps2.xy, match_cfg.sof_grid_px
-        )
+        pred, rad = filters.sof_predict(field, kps1.xy, match_cfg.sof_grid_px)
         res = matching.match_descriptors(
             d1, d2, kps1.mask, kps2.mask,
             binary=binary,
             ratio_test=match_cfg.ratio_test,
             ratio=match_cfg.ratio,
             cross_check=match_cfg.cross_check,
-            spatial_penalty=penalty,
+            guide_pred=pred,
+            guide_rad=rad,
+            pts2_xy=kps2.xy,
         )
         pts2 = kps2.xy[res.idx]
         mask = res.mask
@@ -176,12 +176,37 @@ def estimate_pose(
     th = cfg.robust.threshold_px / f_mean
     th_sq = th * th
 
-    res, degen = robust.estimate_essential_robust(
-        x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,
-        threshold_sq=th_sq,
-    )
-    E = res.model
-    inl = res.inlier_mask
+    if cfg.use_halign:
+        # Halign (poselib-test --Halign; estimatePoseHomographies,
+        # pose_homography.cpp:127): pose via multi-plane homography
+        # extraction + decomposition — for plane-dominated scenes where
+        # direct E estimation degenerates
+        hres = homography_pose.estimate_pose_halign(
+            x1, x2, mask, quality, cfg.halign, cfg.robust, key,
+            threshold_sq=th_sq,
+        )
+
+        class _R:
+            model = hres.E
+            inlier_mask = hres.inlier_mask
+            n_inliers = hres.n_inliers
+            threshold = jnp.asarray(th_sq, x1.dtype)
+
+        res = _R
+        degen = None
+        degen_flag = hres.is_rotation_only
+        E = hres.E
+        inl = hres.inlier_mask
+    else:
+        res, degen = robust.estimate_essential_robust(
+            x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,
+            threshold_sq=th_sq,
+        )
+        E = res.model
+        inl = res.inlier_mask
+        degen_flag = (
+            degen.is_degenerate if degen is not None else jnp.asarray(False)
+        )
 
     if cfg.refine.enabled:
         rres = refine.refine_essential_linear(
@@ -224,9 +249,7 @@ def estimate_pose(
         inlier_ratio=n_inl.astype(jnp.float32) / n_valid,
         points3d=X,
         valid3d=ok3d,
-        is_degenerate=(
-            degen.is_degenerate if degen is not None else jnp.asarray(False)
-        ),
+        is_degenerate=degen_flag,
     )
 
 

@@ -93,8 +93,13 @@ def _top2(dist: jax.Array):
     return -neg[..., 0], -neg[..., 1], idx[..., 0]
 
 
+def _use_pallas_auto() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("binary", "ratio_test", "cross_check")
+    jax.jit,
+    static_argnames=("binary", "ratio_test", "cross_check", "use_pallas"),
 )
 def match_descriptors(
     desc1: jax.Array,
@@ -107,21 +112,82 @@ def match_descriptors(
     cross_check: bool = True,
     max_distance: float | None = None,
     spatial_penalty: jax.Array | None = None,
+    guide_pred: jax.Array | None = None,
+    guide_rad: jax.Array | None = None,
+    pts2_xy: jax.Array | None = None,
+    use_pallas: bool | None = None,
 ) -> MatchResult:
     """Exact 2-NN matching with ratio test and mutual cross-check.
 
     desc1: (N1, W|D), desc2: (N2, W|D); valid1/valid2 mask padded slots.
-    ``spatial_penalty`` (N1, N2), if given, is added to the distance matrix —
-    used by SOF-guided matching to restrict candidates to a predicted-flow
-    radius (pass 0 inside the radius, +inf outside; replicates GMbSOF
-    guidedMatching, match_statOptFlow.cpp:4410).
+
+    Guided matching (GMbSOF guidedMatching, match_statOptFlow.cpp:4410) —
+    restrict candidates of query i to a circle around the SOF-predicted
+    position: pass ``guide_pred`` (N1, 2), ``guide_rad`` (N1,) and
+    ``pts2_xy`` (N2, 2). ``spatial_penalty`` (N1, N2) is the legacy dense
+    form (0 inside / +big outside), XLA path only.
+
+    ``use_pallas``: None = auto (fused Pallas kernel on TPU backends, which
+    streams distance tiles through VMEM instead of materializing the
+    (N1, N2) matrix in HBM — see ops/pallas/knn.py); True forces the
+    kernel (interpret mode off-TPU), False forces the XLA path.
     """
+    if use_pallas is None:
+        use_pallas = spatial_penalty is None and _use_pallas_auto()
+
+    guided = guide_pred is not None
+
+    if use_pallas:
+        from matchinglib_poselib_tpu.ops.pallas import knn
+
+        interpret = jax.default_backend() != "tpu"
+        if binary:
+            a = bits_to_signs(desc1)
+            b = bits_to_signs(desc2)
+            bits = a.shape[-1]
+        else:
+            a = desc1.astype(jnp.float32)
+            b = desc2.astype(jnp.float32)
+            bits = 0
+        rad2 = guide_rad * guide_rad if guided else None
+        d_best, d_second, idx = knn.knn2(
+            a, b, valid2, guide_pred, rad2, pts2_xy,
+            binary=binary, bits=bits, xy_mode=1 if guided else 0,
+            interpret=interpret,
+        )
+        idx = jnp.maximum(idx, 0)
+        v1 = valid1.astype(bool)
+        keep = v1 & (d_best < _BIG * 0.5)
+        if ratio_test:
+            keep = keep & (d_best < ratio * d_second)
+        if max_distance is not None:
+            keep = keep & (d_best <= max_distance)
+        if cross_check:
+            # backward top-1 under the mirrored gate
+            _, _, back = knn.knn2(
+                b, a, valid1, pts2_xy, rad2, guide_pred,
+                binary=binary, bits=bits, xy_mode=2 if guided else 0,
+                interpret=interpret,
+            )
+            keep = keep & (back[idx] == jnp.arange(desc1.shape[0]))
+        return MatchResult(
+            idx=idx.astype(jnp.int32),
+            distance=d_best,
+            second_distance=d_second,
+            mask=keep,
+        )
+
     if binary:
         dist = hamming_distance_matrix(desc1, desc2)
     else:
         dist = l2_distance_matrix(desc1, desc2)
     if spatial_penalty is not None:
         dist = dist + spatial_penalty
+    if guided:
+        d2g = jnp.sum(
+            (guide_pred[:, None, :] - pts2_xy[None, :, :]) ** 2, axis=-1
+        )
+        dist = jnp.where(d2g <= guide_rad[:, None] ** 2, dist, dist + _BIG)
 
     v1 = valid1.astype(bool)
     v2 = valid2.astype(bool)

@@ -1,0 +1,108 @@
+"""Pallas fused 2-NN kernel vs the XLA reference path.
+
+The kernel (ops/pallas/knn.py) must be bit-identical on indices and
+distances (binary) / numerically equal (float) to the dense XLA
+formulation in ops/matching.py, including the guided-matching radius gate
+and mutual cross-check (both run in interpret mode on CPU here).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from matchinglib_poselib_tpu.ops import matching
+from matchinglib_poselib_tpu.ops.pallas import knn
+
+
+def _random_binary(rng, n, w=8):
+    return jnp.asarray(rng.integers(0, 2**32, (n, w), dtype=np.uint32))
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_knn2_matches_xla_path(rng, binary):
+    n1, n2 = 150, 230
+    if binary:
+        d1 = _random_binary(rng, n1)
+        d2 = _random_binary(rng, n2)
+    else:
+        d1 = jnp.asarray(rng.normal(size=(n1, 128)).astype(np.float32))
+        d2 = jnp.asarray(rng.normal(size=(n2, 128)).astype(np.float32))
+    v1 = jnp.asarray(rng.random(n1) > 0.1)
+    v2 = jnp.asarray(rng.random(n2) > 0.1)
+
+    ref = matching.match_descriptors(
+        d1, d2, v1, v2, binary=binary, use_pallas=False
+    )
+    out = matching.match_descriptors(
+        d1, d2, v1, v2, binary=binary, use_pallas=True
+    )
+    m = np.asarray(ref.mask)
+    np.testing.assert_array_equal(np.asarray(out.mask), m)
+    np.testing.assert_array_equal(np.asarray(out.idx)[m], np.asarray(ref.idx)[m])
+    np.testing.assert_allclose(
+        np.asarray(out.distance)[m], np.asarray(ref.distance)[m],
+        rtol=0, atol=1e-2 if not binary else 0,
+    )
+
+
+def test_knn2_guided_gate_matches_xla(rng):
+    """Radius-gated (GMbSOF guided) matching: kernel gate == dense penalty."""
+    n1, n2 = 120, 180
+    d1 = _random_binary(rng, n1)
+    # set 2 = noisy copies of set 1 (few bit flips) + distractors, so real
+    # matches survive the ratio test
+    d1_np = np.asarray(d1)
+    flips = rng.integers(0, 2**32, (n1, 8), dtype=np.uint32) & rng.integers(
+        0, 2**32, (n1, 8), dtype=np.uint32
+    ) & rng.integers(0, 2**32, (n1, 8), dtype=np.uint32)
+    d2 = jnp.asarray(
+        np.concatenate([d1_np ^ flips, np.asarray(_random_binary(rng, n2 - n1))])
+    )
+    v1 = jnp.ones(n1, bool)
+    v2 = jnp.asarray(rng.random(n2) > 0.05)
+    p1 = rng.uniform(0, 200, (n1, 2)).astype(np.float32)
+    pred = jnp.asarray(p1 + rng.normal(scale=5.0, size=(n1, 2)))
+    pts2 = jnp.asarray(
+        np.concatenate([p1, rng.uniform(0, 200, (n2 - n1, 2))]).astype(
+            np.float32
+        )
+    )
+    rad = jnp.asarray(rng.uniform(15, 60, (n1,)).astype(np.float32))
+
+    kwargs = dict(
+        binary=True, guide_pred=pred, guide_rad=rad, pts2_xy=pts2
+    )
+    ref = matching.match_descriptors(d1, d2, v1, v2, use_pallas=False, **kwargs)
+    out = matching.match_descriptors(d1, d2, v1, v2, use_pallas=True, **kwargs)
+    m = np.asarray(ref.mask)
+    assert m.sum() > 0
+    np.testing.assert_array_equal(np.asarray(out.mask), m)
+    np.testing.assert_array_equal(np.asarray(out.idx)[m], np.asarray(ref.idx)[m])
+
+
+def test_knn2_all_invalid_columns(rng):
+    """Degenerate input: no valid candidates -> no matches, finite outputs."""
+    d1 = _random_binary(rng, 64)
+    d2 = _random_binary(rng, 64)
+    out = matching.match_descriptors(
+        d1, d2, jnp.ones(64, bool), jnp.zeros(64, bool),
+        binary=True, use_pallas=True,
+    )
+    assert int(out.n_matches) == 0
+
+
+def test_knn2_large_unaligned_shapes(rng):
+    """Shapes off the 128 tile grid exercise the padding path."""
+    d1 = jnp.asarray(rng.normal(size=(301, 67)).astype(np.float32))
+    d2 = jnp.asarray(rng.normal(size=(443, 67)).astype(np.float32))
+    v1 = jnp.ones(301, bool)
+    v2 = jnp.ones(443, bool)
+    ref = matching.match_descriptors(
+        d1, d2, v1, v2, binary=False, use_pallas=False
+    )
+    out = matching.match_descriptors(
+        d1, d2, v1, v2, binary=False, use_pallas=True
+    )
+    m = np.asarray(ref.mask)
+    np.testing.assert_array_equal(np.asarray(out.mask), m)
+    np.testing.assert_array_equal(np.asarray(out.idx)[m], np.asarray(ref.idx)[m])
