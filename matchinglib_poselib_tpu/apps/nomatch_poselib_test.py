@@ -1,0 +1,250 @@
+"""GT-driven pose evaluation CLI (reference: tests/noMatch_poselib-test).
+
+Consumes ground-truth correspondences that bypass the matcher (the
+``noMatch_`` prefix = "no matching performed"), runs the configured pose
+algorithms per frame and writes a semicolon-separated CSV with the
+reference's metric columns (writeResultsDisk, main.cpp:2918-2937):
+R_diffAll, per-axis R_diff, t_angDiff_deg, t_distDiff, t element diffs,
+most-likely-pose variants, inlier ratios (GT + estimated), pool size and
+per-stage timings (timeMeasurements struct, main.cpp:61-73).
+
+Sequence format (replaces the reference's SemiRealSequence OpenCV-yaml):
+a directory of ``frame_*.npz`` files, each with
+
+    pts1 (K, 2) float  left-image pixel coords
+    pts2 (K, 2) float  right-image pixel coords
+    R_GT (3, 3), t_GT (3,)  ground-truth relative pose
+    K1 (3, 3), K2 (3, 3)    intrinsics
+    inlier_mask_GT (K,) bool  (optional) which GT correspondences are
+                              true inliers (for inlRat_GT)
+
+Usage:
+    python -m matchinglib_poselib_tpu.apps.nomatch_poselib_test \
+        --sequ_path <dir> --output_path out/ --RobMethod USAC --stereoRef
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import pathlib
+import time
+
+import numpy as np
+
+from matchinglib_poselib_tpu.apps import common
+
+
+CSV_COLUMNS = [
+    "frame", "state",
+    "R_diffAll", "R_diff_roll", "R_diff_pitch", "R_diff_yaw",
+    "t_angDiff_deg", "t_distDiff",
+    "t_diff_tx", "t_diff_ty", "t_diff_tz",
+    "R_mostLikely_diffAll", "t_mostLikely_angDiff",
+    "nrCorrs_GT", "inlRat_GT", "nrCorrs_estimated", "inlRat_estimated",
+    "poolSize", "poseIsStable", "mostLikelyPose_stable",
+    "filtering_ms", "robEstimationAndRef_ms", "linRefinement_ms",
+    "bundleAdjust_ms", "stereoRefine_ms",
+]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="noMatch_poselib-test",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--sequ_path", required=True)
+    p.add_argument("--matchData_idx", type=int, default=0,
+                   help="accepted for parity (frame files are globbed)")
+    p.add_argument("--ovf_ext", default="npz",
+                   help="frame file extension (reference: yaml/xml[.gz])")
+    p.add_argument("--output_path", default=".")
+    p.add_argument("--v", type=int, default=0)
+    p.add_argument("--addSequInfo", default="")
+    p.add_argument("--useGTCamMat", action="store_true",
+                   help="use GT camera matrices (always on: the npz frames "
+                        "carry K1/K2)")
+    p.add_argument("--accumCorrs", type=int, default=0)
+    # pose options shared with poselib-test
+    p.add_argument("--noPoseDiff", action="store_true")
+    p.add_argument("--autoTH", action="store_true")
+    p.add_argument("--refineRT", default="22")
+    p.add_argument("--refineVFC", action="store_true")
+    p.add_argument("--refineSOF", action="store_true")
+    p.add_argument("--refineGMS", action="store_true")
+    p.add_argument("--BART", type=int, default=0)
+    p.add_argument("--RobMethod", default="USAC")
+    p.add_argument("--Halign", type=int, default=0)
+    p.add_argument("--th", type=float, default=0.8)
+    p.add_argument("--cfgUSAC", default="311220")
+    p.add_argument("--USACdegenTh", type=float, default=0.85)
+    p.add_argument("--USACInlratFilt", type=int, default=0)
+    p.add_argument("--compInitPose", action="store_true")
+    common.add_stereo_refine_options(p)
+    return p
+
+
+def _angles_deg(R):
+    """roll/pitch/yaw of a rotation matrix (getAnglesRotMat parity)."""
+    import jax.numpy as jnp
+
+    from matchinglib_poselib_tpu.ops import geometry as geo
+
+    a = np.asarray(geo.angles_from_rot(jnp.asarray(R, jnp.float32)))
+    return np.degrees(a)
+
+
+def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx):
+    """One frame: estimate + GT metrics. Returns a CSV row dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from matchinglib_poselib_tpu.models import pipeline
+    from matchinglib_poselib_tpu.ops import filters, geometry as geo
+
+    pts1 = frame["pts1"].astype(np.float32)
+    pts2 = frame["pts2"].astype(np.float32)
+    K = len(pts1)
+    R_GT = frame["R_GT"]
+    t_GT = frame["t_GT"].ravel()
+    K1 = frame["K1"]
+    K2 = frame["K2"]
+    inl_gt = frame.get("inlier_mask_GT", np.ones(K, bool))
+
+    row = {c: "" for c in CSV_COLUMNS}
+    row["frame"] = frame_idx
+    row["nrCorrs_GT"] = K
+    row["inlRat_GT"] = round(float(np.mean(inl_gt)), 4)
+
+    mask = np.ones(K, np.float32)
+    quality = np.ones(K, np.float32)
+
+    t0 = time.perf_counter()
+    if args.refineVFC or args.refineSOF or args.refineGMS:
+        m = jnp.asarray(mask).astype(bool)
+        shape = (
+            int(np.ceil(pts1[:, 1].max())) + 1,
+            int(np.ceil(pts1[:, 0].max())) + 1,
+        )
+        if args.refineGMS:
+            m = filters.gms_filter(
+                jnp.asarray(pts1), jnp.asarray(pts2), m, shape, shape
+            )
+        if args.refineSOF:
+            m = filters.sof_filter_matches(
+                jnp.asarray(pts1), jnp.asarray(pts2), m, shape
+            )
+        if args.refineVFC:
+            scale = np.asarray([shape[1], shape[0]], np.float32)
+            vfc = filters.vfc_filter(
+                jnp.asarray(pts1 / scale), jnp.asarray(pts2 / scale), m
+            )
+            m = vfc.inlier_mask
+        mask = np.asarray(m).astype(np.float32)
+    row["filtering_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+
+    zeros5 = jnp.zeros(5, jnp.float32)
+    if stereo_ref is not None:
+        t0 = time.perf_counter()
+        fr = stereo_ref.add_new_correspondences(pts1, pts2, mask, quality)
+        row["stereoRefine_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+        R_est, t_est = np.asarray(fr.R), np.asarray(fr.t)
+        row["state"] = fr.state
+        row["poolSize"] = int(fr.pool_size)
+        row["poseIsStable"] = int(bool(fr.pose_is_stable))
+        row["mostLikelyPose_stable"] = int(bool(fr.most_likely_pose_stable))
+        row["inlRat_estimated"] = round(float(fr.inlier_ratio), 4)
+        row["nrCorrs_estimated"] = int(round(fr.inlier_ratio * mask.sum()))
+        rml, tml = np.asarray(fr.R_most_likely), np.asarray(fr.t_most_likely)
+        rdm, tdm, _ = geo.compare_poses(
+            jnp.asarray(R_GT, jnp.float32),
+            jnp.asarray(t_GT / np.linalg.norm(t_GT), jnp.float32),
+            jnp.asarray(rml, jnp.float32), jnp.asarray(tml, jnp.float32),
+        )
+        row["R_mostLikely_diffAll"] = round(float(rdm), 4)
+        row["t_mostLikely_angDiff"] = round(float(tdm), 4)
+    else:
+        t0 = time.perf_counter()
+        pose = pipeline.estimate_pose(
+            jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(mask),
+            jnp.asarray(quality),
+            jnp.asarray(K1, jnp.float32), jnp.asarray(K2, jnp.float32),
+            zeros5, zeros5, pose_cfg, key,
+        )
+        jax.block_until_ready(pose.R)
+        row["robEstimationAndRef_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 3
+        )
+        R_est, t_est = np.asarray(pose.R), np.asarray(pose.t)
+        row["state"] = "single"
+        row["nrCorrs_estimated"] = int(pose.n_inliers)
+        row["inlRat_estimated"] = round(float(pose.inlier_ratio), 4)
+
+    if not args.noPoseDiff:
+        tn_gt = t_GT / np.linalg.norm(t_GT)
+        rd, td, tdist = geo.compare_poses(
+            jnp.asarray(R_GT, jnp.float32), jnp.asarray(tn_gt, jnp.float32),
+            jnp.asarray(R_est, jnp.float32), jnp.asarray(t_est, jnp.float32),
+        )
+        row["R_diffAll"] = round(float(rd), 4)
+        row["t_angDiff_deg"] = round(float(td), 4)
+        row["t_distDiff"] = round(float(tdist), 4)
+        ang = _angles_deg(R_est @ R_GT.T)
+        row["R_diff_roll"] = round(float(ang[0]), 4)
+        row["R_diff_pitch"] = round(float(ang[1]), 4)
+        row["R_diff_yaw"] = round(float(ang[2]), 4)
+        td_el = t_est / max(np.linalg.norm(t_est), 1e-12) - tn_gt
+        row["t_diff_tx"] = round(float(td_el[0]), 4)
+        row["t_diff_ty"] = round(float(td_el[1]), 4)
+        row["t_diff_tz"] = round(float(td_el[2]), 4)
+    return row
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    pose_args = argparse.Namespace(**vars(args))
+    pose_cfg = common.pose_config(pose_args)
+
+    frames = sorted(
+        pathlib.Path(args.sequ_path).glob(f"frame_*.{args.ovf_ext}")
+    )
+    if not frames:
+        raise SystemExit(f"no frame_*.{args.ovf_ext} in {args.sequ_path}")
+
+    stereo_ref = None
+    if args.stereoRef:
+        from matchinglib_poselib_tpu.models.stereo_refine import StereoRefine
+
+        first = np.load(frames[0])
+        stereo_ref = StereoRefine(
+            first["K1"], first["K2"],
+            cfg=common.stereo_refine_config(args, pose_cfg),
+        )
+
+    out = pathlib.Path(args.output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    csv_path = out / "results.csv"
+    key = jax.random.PRNGKey(0)
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=CSV_COLUMNS, delimiter=";")
+        w.writeheader()
+        for i, fp in enumerate(frames):
+            frame = dict(np.load(fp))
+            row = evaluate_frame(
+                frame, pose_cfg, stereo_ref, args, jax.random.fold_in(key, i), i
+            )
+            w.writerow(row)
+            if args.v > 0:
+                print(
+                    f"frame {i}: R_diffAll={row['R_diffAll']} "
+                    f"t_angDiff={row['t_angDiff_deg']} state={row['state']}"
+                )
+    print(f"wrote {csv_path} ({len(frames)} frames)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

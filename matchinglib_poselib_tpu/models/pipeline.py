@@ -29,11 +29,14 @@ import jax.numpy as jnp
 from matchinglib_poselib_tpu.config import (
     DetectorConfig,
     DescriptorConfig,
+    MAX_PIX_TH,
+    MIN_PIX_TH,
     MatchingConfig,
     PoseConfig,
 )
 from matchinglib_poselib_tpu.ops import ba, features, filters, geometry as geo
 from matchinglib_poselib_tpu.ops import homography_pose, matching, refine, robust
+from matchinglib_poselib_tpu.ops import subpix
 
 
 class Correspondences(NamedTuple):
@@ -131,6 +134,12 @@ def get_correspondences(
             cell_px=match_cfg.sof_grid_px,
             validation_th=match_cfg.sof_validation_th,
         )
+    if match_cfg.subpix_refine:
+        # template-matching sub-pixel refinement of the right-image points
+        # (subPixRefine; getSubPixMatches matchers.cpp:1085, dispatched at
+        # correspondences.cpp:445-508)
+        sp = subpix.refine_matches_subpix(img1, img2, pts1, pts2, mask)
+        pts2 = sp.pts2
     if match_cfg.vfc_filter:
         scale = jnp.asarray([shape[1], shape[0]], img1.dtype)
         vfc = filters.vfc_filter(pts1 / scale, pts2 / scale, mask)
@@ -197,6 +206,17 @@ def estimate_pose(
         degen_flag = hres.is_rotation_only
         E = hres.E
         inl = hres.inlier_mask
+    elif cfg.auto_th:
+        # AutoThEpi (poselib-test --autoTH; pose_estim.cpp:82-300): the
+        # inlier threshold is adapted from residual statistics between
+        # robust rounds, bounded by [MIN_PIX_TH, MAX_PIX_TH] pixels
+        ath = robust.estimate_essential_autoth(
+            x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,
+            threshold_sq=th_sq,
+            min_threshold=MIN_PIX_TH / f_mean,
+            max_threshold=MAX_PIX_TH / f_mean,
+        )
+        res, degen = ath.result, ath.degen
     else:
         res, degen = robust.estimate_essential_robust(
             x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,

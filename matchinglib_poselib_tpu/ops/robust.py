@@ -40,13 +40,20 @@ hypotheses per batch, exactly `max_models_per_sample` models per sample.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from matchinglib_poselib_tpu.config import RobustConfig, PoseEstimator, MinimalSolver
+from matchinglib_poselib_tpu.config import (
+    MIN_PIX_TH,
+    MinimalSolver,
+    PIX_MIN_GOOD_TH,
+    PoseEstimator,
+    RobustConfig,
+)
 from matchinglib_poselib_tpu.ops import geometry as geo
 from matchinglib_poselib_tpu.ops import solvers
 
@@ -501,3 +508,112 @@ def estimate_essential_robust(
     else:
         degen = None
     return res, degen
+
+
+# ---------------------------------------------------------------------------
+# AutoThEpi: automatic inlier-threshold adaptation
+# ---------------------------------------------------------------------------
+
+
+class AutoThResult(NamedTuple):
+    result: RobustResult
+    degen: DegeneracyResult | None
+    threshold: jax.Array  # adapted threshold (distance units, normalized)
+    n_rounds: jax.Array  # rounds actually used before convergence latch
+
+
+def estimate_essential_autoth(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    quality: jax.Array,
+    cfg: RobustConfig,
+    key: jax.Array,
+    threshold_sq: jax.Array | float,
+    min_threshold: jax.Array | float,
+    max_threshold: jax.Array | float,
+    rounds: int = 3,
+) -> AutoThResult:
+    """Robust E with automatic threshold adaptation (AutoThEpi,
+    pose_estim.cpp:82-300 estimateEVarTH / estimateThresh).
+
+    All thresholds are *distances* in normalized camera units (the caller
+    converts pixels via the mean focal length; the reference uses its
+    pixToCamFact for the same purpose). Semantics preserved:
+
+    - each round runs the robust engine at the current threshold, then
+      re-estimates the threshold from the residual statistics of ALL
+      correspondences under the found E: median + 3*1.4826*MAD when the
+      mean/median ratio is implausible (<0.5 or >2 — heavy outlier tail),
+      else mean + 3*std (estimateThresh, pose_estim.cpp:~200);
+    - residuals beyond min(4*th, 5px) are trimmed from the statistics
+      (maxInlDist);
+    - a runaway estimate (th_tmp >= 5*th and >= 4*PIX_MIN_GOOD_TH) doubles
+      the threshold instead (resetting to the minimum once at half the
+      maximum), clamped to [min_threshold, max_threshold];
+    - iteration stops once the threshold moved by less than 10% or the
+      inlier ratio reached 0.67 (the reference's do/while condition);
+      rounds after convergence are latched, keeping shapes static — the
+      oscillation bookkeeping (th_sem flags) is subsumed by the fixed
+      round count.
+    """
+    th = jnp.sqrt(jnp.asarray(threshold_sq, x1.dtype))
+    min_th = jnp.asarray(min_threshold, x1.dtype)
+    max_th = jnp.asarray(max_threshold, x1.dtype)
+    # 5px trim ceiling and 4*PIX_MIN_GOOD_TH runaway floor in camera units:
+    # both scale from the pixel constants by min_th / MIN_PIX_TH
+    px_unit = min_th / MIN_PIX_TH
+    trim_ceiling = 5.0 * px_unit
+    runaway_floor = 4.0 * PIX_MIN_GOOD_TH * px_unit
+
+    maskb = mask.astype(bool)
+    frozen = jnp.asarray(False)
+    best = None
+    n_rounds = jnp.asarray(0, jnp.int32)
+
+    for r in range(rounds):
+        key, sub = jax.random.split(key)
+        res, _ = estimate_essential_robust(
+            x1, x2, mask, quality,
+            dataclasses.replace(cfg, check_degeneracy=False), sub,
+            threshold_sq=th * th,
+        )
+        err = jnp.sqrt(jnp.maximum(geo.sampson_error(res.model, x1, x2), 0.0))
+        max_inl_dist = jnp.minimum(4.0 * th, trim_ceiling)
+        stat_mask = maskb & (err < max_inl_dist)
+        med, mean, std, mad = geo.masked_stats(err, stat_mask)
+        med_std = 1.4826 * mad
+        ratio = mean / jnp.maximum(med, 1e-12)
+        th_tmp = jnp.where(
+            (ratio > 2.0) | (ratio < 0.5), med + 3.0 * med_std,
+            mean + 3.0 * std,
+        )
+        sane = (th_tmp < 5.0 * th) | (th_tmp < runaway_floor)
+        fallback = jnp.where(th < 0.5 * max_th, 2.0 * th, min_th)
+        th_new = jnp.clip(jnp.where(sane, th_tmp, fallback), min_th, max_th)
+
+        if best is None:
+            best = res
+        else:
+            best = jax.tree.map(
+                lambda old, new: jnp.where(frozen, old, new), best, res
+            )
+        n_rounds = jnp.where(frozen, n_rounds, r + 1)
+        moved = (th / jnp.maximum(th_new, 1e-12) < 0.9) | (
+            th_new / jnp.maximum(th, 1e-12) < 0.9
+        )
+        converged = ~moved | (res.inlier_ratio >= 0.67)
+        th = jnp.where(frozen, th, th_new)
+        frozen = frozen | converged
+
+    if cfg.check_degeneracy:
+        degen = analyze_degeneracy(
+            best, x1, x2, mask, cfg, jax.random.fold_in(key, 777)
+        )
+    else:
+        degen = None
+    # the adapted threshold: like the reference, estimateThresh runs in the
+    # terminating iteration too and its value is stored for the next frame
+    return AutoThResult(
+        result=best, degen=degen, threshold=th, n_rounds=n_rounds
+    )

@@ -19,11 +19,39 @@ import numpy as np
 
 
 def load_image_gray(path: str | pathlib.Path) -> np.ndarray:
-    """Load an image as (H, W) float32 grayscale in [0, 1]."""
+    """Load an image as (H, W) float32 grayscale in [0, 1].
+
+    Decodes with the native C++ loader (native/loader.cpp — the
+    equivalent of the reference's io_data.cpp layer) when available,
+    falling back to PIL for encodings the native path doesn't cover."""
+    from matchinglib_poselib_tpu import native
+
+    out = native.load_image_gray(path)
+    if out is not None:
+        return out
     from PIL import Image
 
     img = Image.open(path).convert("L")
     return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def load_images_batch(paths, n_threads: int = 0) -> np.ndarray:
+    """
+
+    Decode a same-shaped image batch with the native threaded loader
+    ((N, H, W) float32); per-file fallback for anything it can't decode.
+    """
+    from matchinglib_poselib_tpu import native
+
+    paths = list(paths)
+    first = load_image_gray(paths[0])
+    h, w = first.shape
+    out, good = native.load_batch_gray(paths, h, w, n_threads)
+    if out is None or good < len(paths):
+        out = np.stack([load_image_gray(p) for p in paths])
+    else:
+        out[0] = first
+    return out
 
 
 def load_stereo_sequence(
