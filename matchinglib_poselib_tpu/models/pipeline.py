@@ -83,24 +83,46 @@ def get_correspondences(
     if shape is None:
         shape = img1.shape
     binary = features.is_binary_descriptor(desc_cfg.kind)
+    is_bold = features.is_bold_descriptor(desc_cfg.kind)
 
     kps1 = features.detect_keypoints(img1, det_cfg)
     kps2 = features.detect_keypoints(img2, det_cfg)
     d1, kps1 = features.compute_descriptors(img1, kps1, desc_cfg)
     d2, kps2 = features.compute_descriptors(img2, kps2, desc_cfg)
 
-    res = matching.match_descriptors(
-        d1, d2, kps1.mask, kps2.mask,
-        binary=binary,
-        ratio_test=match_cfg.ratio_test,
-        ratio=match_cfg.ratio,
-        cross_check=match_cfg.cross_check,
-    )
+    if is_bold:
+        # BOLD carries (bits, stability-mask) words; the masked-Hamming
+        # engine replaces the plain one (descriptors_ext.match_bold)
+        from matchinglib_poselib_tpu.ops import descriptors_ext
+
+        res = descriptors_ext.match_bold(
+            d1[:, :16], d1[:, 16:], d2[:, :16], d2[:, 16:],
+            kps1.mask, kps2.mask,
+            ratio_test=match_cfg.ratio_test,
+            ratio=match_cfg.ratio,
+            cross_check=match_cfg.cross_check,
+        )
+    else:
+        res = matching.match_descriptors(
+            d1, d2, kps1.mask, kps2.mask,
+            binary=binary,
+            ratio_test=match_cfg.ratio_test,
+            ratio=match_cfg.ratio,
+            cross_check=match_cfg.cross_check,
+        )
     pts1 = kps1.xy
     pts2 = kps2.xy[res.idx]
     mask = res.mask
 
-    if match_cfg.matcher_name.upper() == "GMBSOF":
+    if match_cfg.matcher_name.upper() == "GMBSOF" and is_bold:
+        # no guided BOLD rematch: apply the SOF consistency filter to the
+        # first-pass matches instead (same flow statistics, filter-only)
+        mask = filters.sof_filter_matches(
+            pts1, pts2, mask, shape,
+            cell_px=match_cfg.sof_grid_px,
+            validation_th=match_cfg.sof_validation_th,
+        )
+    elif match_cfg.matcher_name.upper() == "GMBSOF":
         # pass 2: SOF field from initial matches -> guided rematch within
         # the predicted radius (AdvancedMatching semantics)
         field = filters.sof_statistics(

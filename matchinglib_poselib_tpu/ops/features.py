@@ -530,20 +530,31 @@ DETECTOR_ALIASES = {
 }
 
 DESCRIPTOR_ALIASES = {
-    # binary family -> BRIEF-256
-    "ORB": "BRIEF", "BRISK": "BRIEF", "FREAK": "BRIEF", "LATCH": "BRIEF",
-    "AKAZE": "BRIEF", "KAZE_BIN": "BRIEF", "BGM": "BRIEF", "BGM_HARD": "BRIEF",
-    "BGM_BILINEAR": "BRIEF", "LBGM": "BRIEF", "BINBOOST_64": "BRIEF",
-    "BINBOOST_128": "BRIEF", "BINBOOST_256": "BRIEF", "BOLD": "BRIEF",
-    # float family -> SIFT-like
+    # steered-BRIEF family (ORB + the learned binary descriptors whose
+    # training data is not reproducible here -> nearest native binary)
+    "ORB": "BRIEF", "LATCH": "BRIEF", "AKAZE": "BRIEF", "KAZE_BIN": "BRIEF",
+    "BGM": "BRIEF", "BGM_HARD": "BRIEF", "BGM_BILINEAR": "BRIEF",
+    "LBGM": "BRIEF", "BINBOOST_64": "BRIEF", "BINBOOST_128": "BRIEF",
+    "BINBOOST_256": "BRIEF",
+    # ring-pattern family (true concentric-ring implementations,
+    # descriptors_ext.ring_pattern_descriptor)
+    "BRISK": "RING", "FREAK": "RING_LOG",
+    # BOLD: per-patch stability masks + masked-Hamming matching
+    "BOLD": "BOLD",
+    # float family
     "SIFT": "SIFT", "SURF": "SIFT", "DAISY": "SIFT", "KAZE": "SIFT",
     "VGG_120": "SIFT", "VGG_80": "SIFT", "VGG_64": "SIFT", "VGG_48": "SIFT",
-    "RIFF": "SIFT",
+    "RIFF": "RIFF",
 }
 
 
 def is_binary_descriptor(name: str) -> bool:
-    return DESCRIPTOR_ALIASES.get(name.upper(), "BRIEF") == "BRIEF"
+    kind = DESCRIPTOR_ALIASES.get(name.upper(), "BRIEF")
+    return kind in ("BRIEF", "RING", "RING_LOG", "BOLD")
+
+
+def is_bold_descriptor(name: str) -> bool:
+    return DESCRIPTOR_ALIASES.get(name.upper(), "BRIEF") == "BOLD"
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -584,6 +595,24 @@ def compute_descriptors(
     kind = DESCRIPTOR_ALIASES.get(cfg.kind.upper(), "BRIEF")
     if kind == "BRIEF":
         desc = brief_descriptor_orb(patches, angles, cfg.oriented)
+    elif kind in ("RING", "RING_LOG"):
+        from matchinglib_poselib_tpu.ops import descriptors_ext
+
+        desc = descriptors_ext.ring_pattern_descriptor(
+            patches, angles, cfg.oriented, log_spacing=kind == "RING_LOG"
+        )
+    elif kind == "BOLD":
+        from matchinglib_poselib_tpu.ops import descriptors_ext
+
+        bits, mask = descriptors_ext.bold_descriptor(
+            patches, angles, cfg.oriented
+        )
+        # bits and stability mask ride together: (K, 32) uint32
+        desc = jnp.concatenate([bits, mask], axis=1)
+    elif kind == "RIFF":
+        from matchinglib_poselib_tpu.ops import descriptors_ext
+
+        desc = descriptors_ext.riff_descriptor(patches, angles, cfg.oriented)
     else:
         desc = sift_descriptor(patches, angles, cfg.oriented)
     return desc, kps._replace(angle=angles)
