@@ -518,39 +518,60 @@ _DETECTOR_FNS = {
     # ORB = FAST detection with Harris-rank ordering; on the grid-top-k
     # selection path plain FAST score ordering is equivalent in effect
     "ORB": lambda img, cfg: fast_score(img, cfg.fast_threshold / 255.0),
+    # BRISK at one level = AGAST segment test = FAST score (scale_space.py
+    # handles pyramid_levels > 1)
+    "BRISK": lambda img, cfg: fast_score(img, cfg.fast_threshold / 255.0),
 }
 
 # registry aliases: reference detector names -> implemented families
-# (features.cpp:792-847; README.md:47-66)
+# (features.cpp:792-847; README.md:47-66). Scale-space families (SIFT, SURF,
+# STAR, MSD, MSER, pyramid ORB/BRISK, KAZE/AKAZE) dispatch to dedicated
+# detectors in ops/scale_space.py and ops/nonlinear_diffusion.py.
 DETECTOR_ALIASES = {
     "FAST": "FAST", "ORB": "ORB", "HARRIS": "HARRIS", "GFTT": "SHITOMASI",
-    "SHITOMASI": "SHITOMASI", "BRISK": "FAST", "AKAZE": "SHITOMASI",
-    "KAZE": "SHITOMASI", "SIFT": "SHITOMASI", "SURF": "HARRIS",
-    "STAR": "HARRIS", "MSD": "HARRIS", "MSER": "SHITOMASI",
+    "SHITOMASI": "SHITOMASI", "BRISK": "BRISK", "AKAZE": "AKAZE",
+    "KAZE": "KAZE", "SIFT": "SIFT", "SURF": "SURF",
+    "STAR": "STAR", "MSD": "MSD", "MSER": "MSER",
 }
 
 DESCRIPTOR_ALIASES = {
-    # steered-BRIEF family (ORB + the learned binary descriptors whose
-    # training data is not reproducible here -> nearest native binary)
-    "ORB": "BRIEF", "LATCH": "BRIEF", "AKAZE": "BRIEF", "KAZE_BIN": "BRIEF",
-    "BGM": "BRIEF", "BGM_HARD": "BRIEF", "BGM_BILINEAR": "BRIEF",
-    "LBGM": "BRIEF", "BINBOOST_64": "BRIEF", "BINBOOST_128": "BRIEF",
-    "BINBOOST_256": "BRIEF",
+    # steered-BRIEF family
+    "ORB": "BRIEF",
+    # LATCH: patch-triplet comparisons (descriptors_learned.latch_descriptor)
+    "LATCH": "LATCH",
+    # AKAZE MLDB / KAZE M-SURF (nonlinear_diffusion module)
+    "AKAZE": "MLDB", "KAZE_BIN": "MLDB", "KAZE": "MSURF",
+    # BoostDesc family: boosted gradient-map weak learners with procedural
+    # (not OpenCV-trained) selection tables — documented substitution, same
+    # structure/dims/metric (descriptors_learned.boostdesc_descriptor)
+    "BGM": "BGM", "BGM_HARD": "BGM", "BGM_BILINEAR": "BGM",
+    "LBGM": "LBGM",
+    "BINBOOST_64": "BINBOOST_64", "BINBOOST_128": "BINBOOST_128",
+    "BINBOOST_256": "BINBOOST_256",
     # ring-pattern family (true concentric-ring implementations,
     # descriptors_ext.ring_pattern_descriptor)
     "BRISK": "RING", "FREAK": "RING_LOG",
     # BOLD: per-patch stability masks + masked-Hamming matching
     "BOLD": "BOLD",
     # float family
-    "SIFT": "SIFT", "SURF": "SIFT", "DAISY": "SIFT", "KAZE": "SIFT",
-    "VGG_120": "SIFT", "VGG_80": "SIFT", "VGG_64": "SIFT", "VGG_48": "SIFT",
+    "SIFT": "SIFT", "SURF": "SURF64", "DAISY": "DAISY",
+    # VGG: pooled-gradient features x procedural projection (dims match)
+    "VGG_120": "VGG_120", "VGG_80": "VGG_80", "VGG_64": "VGG_64",
+    "VGG_48": "VGG_48",
     "RIFF": "RIFF",
 }
+
+# LBGM is the float member of the BoostDesc family (L2-matched, like the
+# reference's xfeatures2d::BoostDesc LBGM row); all others here are Hamming.
+_BINARY_KINDS = (
+    "BRIEF", "RING", "RING_LOG", "BOLD", "MLDB", "LATCH", "BGM",
+    "BINBOOST_64", "BINBOOST_128", "BINBOOST_256",
+)
 
 
 def is_binary_descriptor(name: str) -> bool:
     kind = DESCRIPTOR_ALIASES.get(name.upper(), "BRIEF")
-    return kind in ("BRIEF", "RING", "RING_LOG", "BOLD")
+    return kind in _BINARY_KINDS
 
 
 def is_bold_descriptor(name: str) -> bool:
@@ -562,8 +583,46 @@ def detect_keypoints(img: jax.Array, cfg: DetectorConfig) -> Keypoints:
     """getKeypoints equivalent (features.cpp:145): score -> NMS -> grid top-k.
 
     img: (H, W) float32 in [0, 1]. Returns fixed-capacity Keypoints.
+    Scale-space detector rows dispatch to ops/scale_space.py /
+    ops/nonlinear_diffusion.py; single-scale corner rows stay here.
     """
     kind = DETECTOR_ALIASES.get(cfg.kind.upper(), "FAST")
+    if kind in ("SIFT", "SURF", "STAR", "MSD", "MSER", "KAZE", "AKAZE") or (
+        kind in ("ORB", "BRISK") and cfg.pyramid_levels > 1
+    ):
+        from matchinglib_poselib_tpu.ops import scale_space
+
+        if kind == "SIFT":
+            return scale_space.sift_dog_keypoints(
+                img, cfg.max_keypoints, grid_cells=cfg.grid_cells
+            )
+        if kind == "MSER":
+            return scale_space.mser_blob_keypoints(
+                img, cfg.max_keypoints, grid_cells=cfg.grid_cells
+            )
+        if kind == "SURF":
+            return scale_space.surf_hessian_keypoints(
+                img, cfg.max_keypoints, grid_cells=cfg.grid_cells
+            )
+        if kind == "STAR":
+            return scale_space.censure_keypoints(
+                img, cfg.max_keypoints, grid_cells=cfg.grid_cells
+            )
+        if kind == "MSD":
+            return scale_space.msd_keypoints(
+                img, cfg.max_keypoints, grid_cells=cfg.grid_cells
+            )
+        if kind in ("KAZE", "AKAZE"):
+            from matchinglib_poselib_tpu.ops import nonlinear_diffusion
+
+            return nonlinear_diffusion.kaze_keypoints(
+                img, cfg.max_keypoints, grid_cells=cfg.grid_cells
+            )
+        return scale_space.pyramid_fast_keypoints(
+            img, cfg.max_keypoints, cfg.fast_threshold / 255.0,
+            n_levels=cfg.pyramid_levels, scale_factor=cfg.pyramid_scale,
+            harris_rank=kind == "ORB", grid_cells=cfg.grid_cells,
+        )
     score = _DETECTOR_FNS[kind](img, cfg)
     score = nms(score, cfg.nms_radius)
     xy, sc, mask = select_keypoints_grid(
@@ -613,6 +672,42 @@ def compute_descriptors(
         from matchinglib_poselib_tpu.ops import descriptors_ext
 
         desc = descriptors_ext.riff_descriptor(patches, angles, cfg.oriented)
+    elif kind == "MLDB":
+        from matchinglib_poselib_tpu.ops import nonlinear_diffusion
+
+        desc = nonlinear_diffusion.mldb_descriptor(
+            patches, angles, cfg.oriented
+        )
+    elif kind in ("MSURF", "SURF64"):
+        from matchinglib_poselib_tpu.ops import nonlinear_diffusion
+
+        desc = nonlinear_diffusion.msurf_descriptor(
+            patches, angles, cfg.oriented
+        )
+    elif kind == "LATCH":
+        from matchinglib_poselib_tpu.ops import descriptors_learned
+
+        desc = descriptors_learned.latch_descriptor(
+            patches, angles, cfg.oriented
+        )
+    elif kind in ("BGM", "LBGM") or kind.startswith("BINBOOST"):
+        from matchinglib_poselib_tpu.ops import descriptors_learned
+
+        desc = descriptors_learned.boostdesc_descriptor(
+            patches, angles, kind, cfg.oriented
+        )
+    elif kind.startswith("VGG"):
+        from matchinglib_poselib_tpu.ops import descriptors_learned
+
+        desc = descriptors_learned.vgg_descriptor(
+            patches, angles, int(kind.split("_")[1]), cfg.oriented
+        )
+    elif kind == "DAISY":
+        from matchinglib_poselib_tpu.ops import descriptors_learned
+
+        desc = descriptors_learned.daisy_descriptor(
+            patches, angles, cfg.oriented
+        )
     else:
         desc = sift_descriptor(patches, angles, cfg.oriented)
     return desc, kps._replace(angle=angles)
