@@ -34,6 +34,7 @@ class MinimalSolver(enum.Enum):
     STEWENIUS_5PT = "stewenius"
     EIGHT_PT = "8pt"
     HOMOGRAPHY = "homography"
+    KNEIP = "kneip"  # rotation eigensolver (opengv eigensolver rows)
 
 
 class RefineWeights(enum.Enum):

@@ -24,7 +24,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from matchinglib_poselib_tpu.config import RefinementConfig, RefineWeights
+from matchinglib_poselib_tpu.config import (
+    MinimalSolver,
+    RefinementConfig,
+    RefineWeights,
+)
 from matchinglib_poselib_tpu.ops import geometry as geo
 from matchinglib_poselib_tpu.ops import solvers
 
@@ -123,6 +127,18 @@ def refine_essential_linear(
         0, iters, body, (E0, inl_init, jnp.sum(inl_init).astype(jnp.int32))
     )
     E = geo.closest_essential(E)
+    if cfg.solver == MinimalSolver.KNEIP:
+        # Kneip rows of the reference's RefineAlg (pose_estim.h:67-77):
+        # polish the IRLS result with the rotation eigensolver on the final
+        # inliers; keep only if the inlier count does not drop
+        from matchinglib_poselib_tpu.ops import eigensolver
+
+        kn = eigensolver.refine_essential_kneip(E, x1, x2, inl)
+        err_k = geo.sampson_error(kn.E, x1, x2)
+        inl_k = (err_k < threshold_sq) & maskb
+        keep = jnp.sum(inl_k) >= jnp.sum(inl)
+        E = jnp.where(keep, kn.E, E)
+        inl = jnp.where(keep, inl_k, inl)
     err = geo.sampson_error(E, x1, x2)
     inl = (err < threshold_sq) & maskb
     n_inl = jnp.sum(inl).astype(jnp.int32)

@@ -89,6 +89,54 @@ def essential_8pt_family() -> ModelFamily:
     return ModelFamily("essential_8pt", 8, 1, solve, err)
 
 
+def fundamental_7pt_family() -> ModelFamily:
+    """Fundamental-matrix family (usac FundmatrixEstimator, SURVEY.md P4):
+    7pt minimal solver (3 models/sample) + Sampson scoring."""
+
+    def err(F, x1, x2):
+        return geo.sampson_error(F, x1[None], x2[None])
+
+    return ModelFamily("fundamental_7pt", 7, 3, solvers.solve_7pt, err)
+
+
+def fundamental_8pt_family() -> ModelFamily:
+    def solve(x1, x2):
+        F, v = solvers.solve_8pt(x1, x2, essential=False)
+        return F[:, None], v[:, None]
+
+    def err(F, x1, x2):
+        return geo.sampson_error(F, x1[None], x2[None])
+
+    return ModelFamily("fundamental_8pt", 8, 1, solve, err)
+
+
+def rotation_reproj_error(R, x1, x2):
+    """Squared reprojection error of rotation-only motion: (M, N).
+
+    R: (M, 3, 3); x1, x2: (N, 2) normalized coords.
+    Reference: RotationMatEstimator.h residual.
+    """
+    b1 = geo.normalize_vec(geo.to_homogeneous(x1))  # (N, 3)
+    b1r = jnp.einsum("mij,nj->mni", R, b1)  # (M, N, 3)
+    pr = b1r[..., :2] / jnp.maximum(jnp.abs(b1r[..., 2:]), 1e-9) * jnp.sign(
+        b1r[..., 2:]
+    )
+    return jnp.sum((pr - x2[None]) ** 2, axis=-1)
+
+
+def rotation_only_family() -> ModelFamily:
+    """Rotation-only family (usac RotationMatEstimator twopt_rotationOnly,
+    SURVEY.md P4): 2pt minimal Horn fit + rotational reprojection error."""
+
+    def solve(x1, x2):
+        w = jnp.ones(x1.shape[:-1], x1.dtype)
+        R = rotation_only_model(x1, x2, w)  # (B, 3, 3)
+        v = jnp.all(jnp.isfinite(R), axis=(-1, -2))
+        return R[:, None], v[:, None]
+
+    return ModelFamily("rotation_2pt", 2, 1, solve, rotation_reproj_error)
+
+
 def homography_family() -> ModelFamily:
     def solve(x1, x2):
         H, v = solvers.solve_homography(x1, x2)
@@ -508,6 +556,117 @@ def estimate_essential_robust(
     else:
         degen = None
     return res, degen
+
+
+# ---------------------------------------------------------------------------
+# fundamental / rotation-only robust estimation + QDEGSAC
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_8pt"))
+def estimate_fundamental_robust(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    quality: jax.Array | None,
+    cfg: RobustConfig,
+    key: jax.Array,
+    threshold_sq: jax.Array | float | None = None,
+    use_8pt: bool = False,
+) -> RobustResult:
+    """Robust fundamental-matrix estimation (estimateFundMatrixUsac,
+    usac_estimations.cpp:83). 7pt minimal (3 models/sample) by default."""
+    fam = fundamental_8pt_family() if use_8pt else fundamental_7pt_family()
+    return ransac(fam, x1, x2, mask, quality, cfg, key, threshold_sq)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_rotation_robust(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    quality: jax.Array | None,
+    cfg: RobustConfig,
+    key: jax.Array,
+    threshold_sq: jax.Array | float | None = None,
+) -> RobustResult:
+    """Robust rotation-only estimation (estimateRotationMatUsac,
+    usac_estimations.cpp:736): 2pt Horn hypotheses + Horn re-fit on the
+    final inlier set (the LO step of the rotation problem)."""
+    res = ransac(
+        rotation_only_family(), x1, x2, mask, quality, cfg, key, threshold_sq
+    )
+    # closed-form refit on all inliers (dominates per-sample 2pt models)
+    R_fit = rotation_only_model(x1, x2, res.inlier_mask.astype(x1.dtype))
+    err = rotation_reproj_error(R_fit[None], x1, x2)[0]
+    inl = (err < res.threshold) & mask.astype(bool)
+    n_new = jnp.sum(inl).astype(jnp.int32)
+    better = n_new >= res.n_inliers
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return res._replace(
+        model=jnp.where(better, R_fit, res.model),
+        inlier_mask=jnp.where(better, inl, res.inlier_mask),
+        n_inliers=jnp.where(better, n_new, res.n_inliers),
+        inlier_ratio=jnp.where(
+            better, n_new.astype(jnp.float32) / n_valid, res.inlier_ratio
+        ),
+    )
+
+
+class QdegsacResult(NamedTuple):
+    result: RobustResult  # the E estimate (valid when not degenerate)
+    F_result: RobustResult  # the unconstrained epipolar-geometry estimate
+    R_result: RobustResult  # rotation-only estimate on the F-inliers
+    is_degenerate: jax.Array  # bool: scene is rotation-dominated
+    rot_fraction: jax.Array  # rotation-explained fraction of F-inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_essential_qdegsac(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    quality: jax.Array,
+    cfg: RobustConfig,
+    key: jax.Array,
+    threshold_sq: jax.Array | float | None = None,
+) -> QdegsacResult:
+    """QDEGSAC: robust F on the full set -> robust rotation-only on the
+    F-inliers -> degeneracy decision -> E on the F-inliers.
+
+    Reference control flow: estimateEssentialQDEGSAC
+    (usac_estimations.cpp:1162) as dispatched by pose_estim.cpp:1983-2130
+    (DEGEN_QDEGSAC). The decision rule — declare rotation-degeneracy when
+    the rotation model explains more than ``cfg.degen_decision_ratio`` of
+    the F-inliers — matches the fraction comparison of pose_estim.cpp:2102.
+    Runs on normalized coords; the F stage is simply the unconstrained
+    (projective) epipolar model over those coords.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    fcfg = dataclasses.replace(cfg, check_degeneracy=False, lo_refine=False)
+    fres = ransac(
+        fundamental_7pt_family(), x1, x2, mask, quality, fcfg, k1,
+        threshold_sq,
+    )
+    rres = estimate_rotation_robust(
+        x1, x2, fres.inlier_mask, quality, fcfg, k2, threshold_sq
+    )
+    rot_frac = rres.n_inliers.astype(jnp.float32) / jnp.maximum(
+        fres.n_inliers.astype(jnp.float32), 1.0
+    )
+    is_degen = rot_frac > cfg.degen_decision_ratio
+    # E estimated on the F-supported correspondences (QDEGSAC's final stage)
+    eres, _ = estimate_essential_robust(
+        x1, x2, fres.inlier_mask, quality,
+        dataclasses.replace(cfg, check_degeneracy=False), k3, threshold_sq,
+    )
+    return QdegsacResult(
+        result=eres,
+        F_result=fres,
+        R_result=rres,
+        is_degenerate=is_degen,
+        rot_fraction=rot_frac,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -532,6 +532,101 @@ def solve_8pt(
 
 
 # ---------------------------------------------------------------------------
+# 7-point fundamental solver
+# ---------------------------------------------------------------------------
+
+
+def solve_7pt(x1: jax.Array, x2: jax.Array):
+    """Batched 7-point fundamental-matrix solver.
+
+    x1, x2: (..., 7, 2) pixel or normalized coords. F spans the 2D
+    nullspace of the 7 epipolar rows: F = F1 + lam * F2 with
+    det(F1 + lam F2) = 0 — a cubic in lam solved in closed form
+    (trigonometric/Cardano, branch-free). Returns ((..., 3, 3, 3) models,
+    (..., 3) validity) — up to 3 real solutions per sample.
+
+    Parity: the reference's FundmatrixEstimator minimal solver
+    (usac/estimators/FundmatrixEstimator.h, SURVEY.md P4).
+    """
+    from matchinglib_poselib_tpu.ops.geometry import normalize_points
+
+    msk = jnp.ones(x1.shape[:-1], x1.dtype)
+    x1n, T1 = normalize_points(x1, msk)
+    x2n, T2 = normalize_points(x2, msk)
+    A = epipolar_rows(x1n, x2n)  # (..., 7, 9)
+    ns = nullspace_from_ata(A, 2)  # (..., 9, 2)
+    F1 = ns[..., 0].reshape(ns.shape[:-2] + (3, 3))
+    F2 = ns[..., 1].reshape(ns.shape[:-2] + (3, 3))
+
+    # det(F1 + lam F2) = c3 lam^3 + c2 lam^2 + c1 lam + c0 via 4-point
+    # polynomial interpolation at lam in {0, 1, -1, 2} (exact for a cubic,
+    # avoids hand-expanding 3x3 determinant cofactors)
+    d0 = det_small(F1)
+    d1 = det_small(F1 + F2)
+    dm1 = det_small(F1 - F2)
+    d2 = det_small(F1 + 2.0 * F2)
+    c0 = d0
+    c2 = 0.5 * (d1 + dm1) - d0
+    c3 = (d2 - 2.0 * d1 + d0 - 2.0 * c2) / 6.0
+    c1 = d1 - d0 - c2 - c3
+
+    # roots of c3 x^3 + c2 x^2 + c1 x + c0, branch-free:
+    # handle the (rare) degenerate c3 ~ 0 by blending with the quadratic
+    eps = 1e-12
+    c3_safe = jnp.where(jnp.abs(c3) < eps, jnp.where(c3 < 0, -eps, eps), c3)
+    a = c2 / c3_safe
+    b = c1 / c3_safe
+    c = c0 / c3_safe
+    # depressed cubic t^3 + p t + q, x = t - a/3
+    p = b - a * a / 3.0
+    q = 2.0 * a**3 / 27.0 - a * b / 3.0 + c
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+
+    # three-real-root branch (trigonometric)
+    pm = jnp.minimum(p, -eps)
+    m = 2.0 * jnp.sqrt(-pm / 3.0)
+    arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    two_pi_3 = 2.0 * jnp.pi / 3.0
+    t_tri = jnp.stack(
+        [
+            m * jnp.cos(theta),
+            m * jnp.cos(theta - two_pi_3),
+            m * jnp.cos(theta - 2.0 * two_pi_3),
+        ],
+        axis=-1,
+    )
+    # one-real-root branch (Cardano)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    t_car = (u + v)[..., None] * jnp.ones_like(t_tri)
+
+    three_real = disc <= 0.0
+    t = jnp.where(three_real[..., None], t_tri, t_car)
+    lam = t - (a / 3.0)[..., None]  # (..., 3)
+    valid = jnp.concatenate(
+        [
+            jnp.ones_like(three_real[..., None]),
+            jnp.broadcast_to(three_real[..., None], three_real.shape + (2,)),
+        ],
+        axis=-1,
+    )
+
+    Fn = F1[..., None, :, :] + lam[..., None, None] * F2[..., None, :, :]
+    # denormalize (same transform convention as solve_8pt)
+    F = (
+        jnp.swapaxes(T2, -1, -2)[..., None, :, :]
+        @ Fn
+        @ T1[..., None, :, :]
+    )
+    nrm = jnp.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1)
+    F = F / jnp.maximum(nrm, 1e-12)[..., None, None]
+    valid = valid & jnp.all(jnp.isfinite(F), axis=(-1, -2))
+    return F, valid
+
+
+# ---------------------------------------------------------------------------
 # homography DLT
 # ---------------------------------------------------------------------------
 
