@@ -309,21 +309,32 @@ class StereoPipeline:
         desc_cfg: DescriptorConfig = DescriptorConfig(),
         match_cfg: MatchingConfig = MatchingConfig(),
         pose_cfg: PoseConfig = PoseConfig(),
+        verbose: int = 0,
     ):
         self.det_cfg = det_cfg
         self.desc_cfg = desc_cfg
         self.match_cfg = match_cfg
         self.pose_cfg = pose_cfg
+        # stage timing with the reference's taxonomy/verbosity
+        # (correspondences.cpp:221-240; SURVEY.md §5.1)
+        from matchinglib_poselib_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer(verbose=verbose)
 
     def correspondences(self, img1, img2) -> Correspondences:
-        return get_correspondences(
-            img1, img2, self.det_cfg, self.desc_cfg, self.match_cfg
-        )
+        with self.timer.stage("matching") as h:
+            corr = get_correspondences(
+                img1, img2, self.det_cfg, self.desc_cfg, self.match_cfg
+            )
+            h["outputs"] = corr
+        return corr
 
     def run(self, img1, img2, K1, K2, dist1, dist2, key) -> tuple:
         corr = self.correspondences(img1, img2)
-        pose = estimate_pose(
-            corr.pts1, corr.pts2, corr.mask, corr.quality,
-            K1, K2, dist1, dist2, self.pose_cfg, key,
-        )
+        with self.timer.stage("robEstimationAndRef") as h:
+            pose = estimate_pose(
+                corr.pts1, corr.pts2, corr.mask, corr.quality,
+                K1, K2, dist1, dist2, self.pose_cfg, key,
+            )
+            h["outputs"] = pose
         return corr, pose
