@@ -70,12 +70,25 @@ class ModelFamily(NamedTuple):
     error: Callable
 
 
-def essential_family() -> ModelFamily:
+def essential_family(
+    solver: MinimalSolver = MinimalSolver.NISTER_5PT,
+) -> ModelFamily:
+    """5pt essential family. Both reference minimal solvers are available
+    (EssentialMatEstimator.h:395,463 fivept_nister / fivept_stewenius);
+    the Nister closed form is the default — it is the cheaper hypothesis
+    generator on TPU (polynomial convolutions vs 10x10 eigen-machinery)."""
+
     def err(E, x1, x2):
         # E: (M, 3, 3); points broadcast over M
         return geo.sampson_error(E, x1[None], x2[None])
 
-    return ModelFamily("essential_5pt", 5, 10, solvers.solve_5pt, err)
+    solve = (
+        solvers.solve_5pt
+        if solver == MinimalSolver.STEWENIUS_5PT
+        else solvers.solve_5pt_nister
+    )
+    name = f"essential_5pt_{'stewenius' if solve is solvers.solve_5pt else 'nister'}"
+    return ModelFamily(name, 5, 10, solve, err)
 
 
 def essential_8pt_family() -> ModelFamily:
@@ -544,7 +557,7 @@ def estimate_essential_robust(
     if cfg.solver == MinimalSolver.EIGHT_PT:
         family = essential_8pt_family()
     else:
-        family = essential_family()
+        family = essential_family(cfg.solver)
     res = ransac(family, x1, x2, mask, quality, cfg, key, threshold_sq)
     if cfg.lo_refine:
         res = lo_refine_essential(res, x1, x2, mask, cfg.lo_inner_iterations)

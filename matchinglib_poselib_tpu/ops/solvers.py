@@ -237,7 +237,10 @@ def _action_matrix(C: jax.Array):
 
 
 _N_THETA = 129  # sign-scan resolution
-_N_BISECT = 42  # fixed bisection iterations (theta space)
+# 16 halvings of the pi/128 scan interval reach ~2e-7 in theta — at f32
+# resolution; the Gauss-Newton polish recovers the remaining digits (42
+# was double-precision-grade overkill and 2.6x the root-finding cost)
+_N_BISECT = 16  # fixed bisection iterations (theta space)
 _MAX_ROOTS = 10
 
 
@@ -407,27 +410,77 @@ def _polish_xyz(Ebasis: jax.Array, xyz: jax.Array, iters: int = 3) -> jax.Array:
     Recovers the precision lost to f32 interpolation/elimination/bisection:
     typically 2-3 orders of magnitude on the final Sampson error.
     Ebasis: (..., 4, 3, 3); xyz: (..., R, 3).
-    """
-    fjac = jax.jacfwd(_constraints_at, argnums=1)
 
-    flat_basis = Ebasis[..., None, :, :, :]
-    flat_basis = jnp.broadcast_to(
-        flat_basis, xyz.shape[:-1] + (4, 3, 3)
-    ).reshape((-1, 4, 3, 3))
-    flat_xyz = xyz.reshape((-1, 3))
+    Jacobians are ANALYTIC batched einsums (dE/dp_k = Ebasis_k is constant):
+    a jacfwd/vmap formulation of the same math compiles to thousands of tiny
+    unfused HLO ops and was the single hottest stage of the whole solver
+    (~13 ms of a 25 ms solve at B=1024 on TPU; this form is ~1 ms).
+    """
+    dE = Ebasis[..., None, :3, :, :]  # (..., 1, 3, 3, 3): dE/dx, dE/dy, dE/dz
+
+    def assemble(p):
+        coeffs = jnp.concatenate(
+            [p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1
+        )
+        return jnp.einsum("...rb,...bij->...rij", coeffs, Ebasis)
 
     def step(_, p):
-        F = jax.vmap(_constraints_at)(flat_basis, p)  # (B, 10)
-        J = jax.vmap(fjac)(flat_basis, p)  # (B, 10, 3)
-        JtJ = jnp.einsum("bri,brj->bij", J, J)
-        JtF = jnp.einsum("bri,br->bi", J, F)
-        damp = 1e-8 * jnp.eye(3, dtype=p.dtype)
-        dp = solve_small(JtJ + damp, JtF[..., None])[..., 0]
+        E = assemble(p)  # (..., R, 3, 3)
+        Et = jnp.swapaxes(E, -1, -2)
+        EEt = E @ Et
+        tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
+        M = 2.0 * (EEt @ E) - tr[..., None, None] * E
+        detE = det3(E)
+        F = jnp.concatenate(
+            [detE[..., None], M.reshape(M.shape[:-2] + (9,))], axis=-1
+        )  # (..., R, 10)
+
+        # analytic jacobian wrt p = (x, y, z); k indexes the basis matrix
+        cof = _adjugate_t(E)  # (..., R, 3, 3) = d det / dE
+        ddet = jnp.einsum("...ij,...kij->...k", cof, dE)  # (..., R, 3)
+        dEEt = jnp.einsum("...kil,...jl->...kij", dE, E)  # dE E^T
+        dEEt = dEEt + jnp.swapaxes(dEEt, -1, -2)  # + E dE^T
+        dtr = dEEt[..., 0, 0] + dEEt[..., 1, 1] + dEEt[..., 2, 2]
+        dM = (
+            2.0 * jnp.einsum("...kij,...jl->...kil", dEEt, E)
+            + 2.0 * jnp.einsum("...ij,...kjl->...kil", EEt, dE)
+            - dtr[..., None, None] * E[..., None, :, :]
+            - tr[..., None, None, None] * dE
+        )  # (..., R, 3, 3, 3)
+        J = jnp.concatenate(
+            [ddet[..., None, :],
+             dM.reshape(dM.shape[:-3] + (3, 9)).swapaxes(-1, -2)],
+            axis=-2,
+        )  # (..., R, 10, 3)
+
+        JtJ = jnp.einsum("...ri,...rj->...ij", J, J)
+        JtF = jnp.einsum("...ri,...r->...i", J, F)
+        JtJ = JtJ + 1e-8 * jnp.eye(3, dtype=p.dtype)
+        dp = solve_small(JtJ, JtF[..., None])[..., 0]
         dp = jnp.where(jnp.isfinite(dp), dp, jnp.zeros_like(dp))
         return p - dp
 
-    flat_xyz = jax.lax.fori_loop(0, iters, step, flat_xyz)
-    return flat_xyz.reshape(xyz.shape)
+    return jax.lax.fori_loop(0, iters, step, xyz)
+
+
+def det3(E: jax.Array) -> jax.Array:
+    """Closed-form determinant of batched 3x3 matrices."""
+    return (
+        E[..., 0, 0] * (E[..., 1, 1] * E[..., 2, 2] - E[..., 1, 2] * E[..., 2, 1])
+        - E[..., 0, 1] * (E[..., 1, 0] * E[..., 2, 2] - E[..., 1, 2] * E[..., 2, 0])
+        + E[..., 0, 2] * (E[..., 1, 0] * E[..., 2, 1] - E[..., 1, 1] * E[..., 2, 0])
+    )
+
+
+def _adjugate_t(E: jax.Array) -> jax.Array:
+    """Transposed adjugate (cofactor matrix) of 3x3: d det(E) / dE."""
+    a, b, c = E[..., 0, 0], E[..., 0, 1], E[..., 0, 2]
+    d, e, f = E[..., 1, 0], E[..., 1, 1], E[..., 1, 2]
+    g, h, i = E[..., 2, 0], E[..., 2, 1], E[..., 2, 2]
+    row0 = jnp.stack([e * i - f * h, f * g - d * i, d * h - e * g], axis=-1)
+    row1 = jnp.stack([c * h - b * i, a * i - c * g, b * g - a * h], axis=-1)
+    row2 = jnp.stack([b * f - c * e, c * d - a * f, a * e - b * d], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 def solve_5pt(x1: jax.Array, x2: jax.Array):
@@ -528,6 +581,242 @@ def solve_8pt(
     valid = jnp.all(jnp.isfinite(E), axis=(-1, -2)) & (
         jnp.sum(mask.astype(jnp.int32), axis=-1) >= 8
     )
+    return E, valid
+
+
+# ---------------------------------------------------------------------------
+# 5-point solver, Nister variant
+# ---------------------------------------------------------------------------
+
+# Nister monomial ordering (five-point.cpp run5Point): the eliminated
+# monomials are every term nonlinear in (x, y); the remaining basis
+# L = [xz^2, xz, x, yz^2, yz, y, z^3, z^2, z, 1] is LINEAR in x and y,
+# which is what collapses the problem to a univariate degree-10 polynomial.
+_MONOMIALS_NISTER = [
+    (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+    (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+    (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+    (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0),
+]
+
+
+def _eval_monomial_list(pts: np.ndarray, monomials) -> np.ndarray:
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    return np.stack(
+        [x**px * y**py * z**pz for (px, py, pz) in monomials], axis=1
+    )
+
+
+_VINV_T_NISTER = jnp.asarray(
+    np.linalg.inv(_eval_monomial_list(_PTS64, _MONOMIALS_NISTER)).T,
+    jnp.float32,
+)
+
+
+def _polymul(a: list, b: list) -> list:
+    """Coefficient lists (ascending powers) of jnp arrays -> product."""
+    out = [None] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            t = ai * bj
+            out[i + j] = t if out[i + j] is None else out[i + j] + t
+    return out
+
+
+def _polysub(a: list, b: list) -> list:
+    n = max(len(a), len(b))
+    out = []
+    for i in range(n):
+        ai = a[i] if i < len(a) else None
+        bi = b[i] if i < len(b) else None
+        if ai is None:
+            out.append(-bi)
+        elif bi is None:
+            out.append(ai)
+        else:
+            out.append(ai - bi)
+    return out
+
+
+_N_THETA_N = 257  # denser scan: a degree-10 poly can have close real roots
+
+
+def _real_roots_poly10(a: jax.Array):
+    """Real roots of batched degree-10 polynomials (ascending coeffs).
+
+    a: (..., 11). Homogeneous evaluation P(s, c) = sum a_k s^k c^(10-k)
+    with (s, c) = (sin th, cos th), z = tan th — finite over the whole
+    projective line, so no overflow at |z| -> inf. Sign-change scan +
+    fixed bisection, like the Hessenberg path, but each evaluation is a
+    single fused 11-term dot product instead of a 10x10 Hyman recurrence.
+    Returns (roots, valid): (..., 10) each.
+    """
+    dtype = a.dtype
+    # normalize for conditioning
+    scale = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+    a = a / jnp.maximum(scale, 1e-30)
+
+    theta = jnp.linspace(
+        -jnp.pi / 2, jnp.pi / 2, _N_THETA_N, dtype=dtype
+    )
+
+    def peval(th):
+        # th: (..., S) broadcastable; returns (..., S)
+        s, c = jnp.sin(th), jnp.cos(th)
+        sp = jnp.stack([s**k for k in range(11)], axis=-1)  # (..., S, 11)
+        cp = jnp.stack([c ** (10 - k) for k in range(11)], axis=-1)
+        return jnp.einsum("...sk,...k->...s", sp * cp, a)
+
+    g = peval(jnp.broadcast_to(theta, a.shape[:-1] + (_N_THETA_N,)))
+    sign = jnp.sign(g)
+    flips = sign[..., :-1] * sign[..., 1:] < 0
+
+    iota = jnp.arange(_N_THETA_N - 1)
+    cand = jnp.where(flips, iota, _N_THETA_N - 1)
+    cand = jnp.sort(cand, axis=-1)[..., :_MAX_ROOTS]
+    valid = cand < (_N_THETA_N - 1)
+    cand = jnp.minimum(cand, _N_THETA_N - 2)
+
+    lo = theta[cand]
+    hi = theta[cand + 1]
+    g_lo = peval(lo)
+
+    def body(_, carry):
+        lo, hi, g_lo = carry
+        mid = 0.5 * (lo + hi)
+        g_mid = peval(mid)
+        left = g_lo * g_mid <= 0
+        hi = jnp.where(left, mid, hi)
+        lo_new = jnp.where(left, lo, mid)
+        g_lo = jnp.where(left, g_lo, g_mid)
+        return lo_new, hi, g_lo
+
+    lo, hi, _ = jax.lax.fori_loop(0, 24, body, (lo, hi, g_lo))
+    mid = 0.5 * (lo + hi)
+    roots = jnp.tan(mid)
+    # exclude the projective point at infinity (theta = +-pi/2)
+    valid = valid & (jnp.abs(jnp.abs(mid) - jnp.pi / 2) > 1e-5)
+    return roots, valid
+
+
+def solve_5pt_nister(x1: jax.Array, x2: jax.Array):
+    """Batched five-point solver, Nister's closed form.
+
+    Same contract as solve_5pt: x1, x2 (..., 5, 2) -> (E (..., 10, 3, 3),
+    valid (..., 10)). Reference: five-point-nister/five-point.cpp:260-455
+    run5Point (the B(z)-determinant reduction to a degree-10 polynomial).
+
+    ~2-3x faster than the Stewenius action-matrix path on TPU: the
+    10x10 Hessenberg eigen-machinery is replaced by polynomial
+    convolutions + a fused scan/bisect, and x, y come from a closed-form
+    2x2 least squares instead of eigenvector extraction.
+    """
+    A = epipolar_rows(x1, x2)  # (..., 5, 9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    ns = jnp.swapaxes(Vt[..., 5:9, :], -1, -2)  # (..., 9, 4)
+    Ebasis = jnp.swapaxes(ns, -1, -2).reshape(ns.shape[:-2] + (4, 3, 3))
+    Ebasis = Ebasis[..., ::-1, :, :]  # E = x E0 + y E1 + z E2 + E3
+
+    F = _constraint_values(Ebasis)  # (..., 10, 20) values at interp points
+    C = F @ _VINV_T_NISTER.astype(F.dtype)  # Nister monomial coefficients
+    C_hi = C[..., :, :10]
+    C_lo = C[..., :, 10:]
+    Bm = solve_small(C_hi, C_lo)  # (..., 10, 10): m_i = -Bm[i] . L
+    okA = jnp.all(jnp.isfinite(Bm), axis=(-1, -2))
+    Bm = jnp.where(okA[..., None, None], Bm, jnp.zeros_like(Bm))
+
+    # pairs (hi, lo) with monomial identity z * m_lo = m_hi:
+    # (x^2 z, x^2), (y^2 z, y^2), (xyz, xy) -> rows (4,5), (6,7), (8,9).
+    # Equation: Bm[hi] . L - Bm[lo] . (z L) = 0, linear in x, y:
+    #   b_x(z) x + b_y(z) y + b_c(z) = 0
+    def row_polys(h, l):
+        Bh = Bm[..., h, :]
+        Bl = Bm[..., l, :]
+        # x coefficients over powers [1, z, z^2, z^3]
+        bx = [
+            Bh[..., 2],
+            Bh[..., 1] - Bl[..., 2],
+            Bh[..., 0] - Bl[..., 1],
+            -Bl[..., 0],
+        ]
+        by = [
+            Bh[..., 5],
+            Bh[..., 4] - Bl[..., 5],
+            Bh[..., 3] - Bl[..., 4],
+            -Bl[..., 3],
+        ]
+        bc = [
+            Bh[..., 9],
+            Bh[..., 8] - Bl[..., 9],
+            Bh[..., 7] - Bl[..., 8],
+            Bh[..., 6] - Bl[..., 7],
+            -Bl[..., 6],
+        ]
+        return bx, by, bc
+
+    rows = [row_polys(4, 5), row_polys(6, 7), row_polys(8, 9)]
+    (b11, b12, b13), (b21, b22, b23), (b31, b32, b33) = rows
+
+    # det B(z): degree-10 polynomial (ascending coefficients, 11 terms),
+    # cofactor expansion with the signs folded into p2/p3
+    p1 = _polysub(_polymul(b22, b33), _polymul(b23, b32))  # deg 7
+    p2 = _polysub(_polymul(b23, b31), _polymul(b21, b33))  # deg 7
+    p3 = _polysub(_polymul(b21, b32), _polymul(b22, b31))  # deg 6
+    det_terms = _polymul(b11, p1)
+    for i, t in enumerate(_polymul(b12, p2)):
+        det_terms[i] = det_terms[i] + t
+    t3 = _polymul(b13, p3)
+    for i, t in enumerate(t3):
+        det_terms[i] = det_terms[i] + t
+    n_poly = jnp.stack(det_terms, axis=-1)  # (..., 11)
+
+    roots, rvalid = _real_roots_poly10(n_poly)  # (..., 10)
+
+    # x, y per root: least-squares solve of B(z) [x, y, 1]^T = 0
+    def eval_poly(coeffs: list, z):
+        r = jnp.zeros_like(z)
+        for k, ck in enumerate(coeffs):
+            r = r + ck[..., None] * z**k
+        return r
+
+    z = roots
+    M11 = eval_poly(b11, z)
+    M12 = eval_poly(b12, z)
+    M13 = eval_poly(b13, z)
+    M21 = eval_poly(b21, z)
+    M22 = eval_poly(b22, z)
+    M23 = eval_poly(b23, z)
+    M31 = eval_poly(b31, z)
+    M32 = eval_poly(b32, z)
+    M33 = eval_poly(b33, z)
+    # normal equations over the 3 rows: [x y] = -(G^-1 h)
+    g11 = M11 * M11 + M21 * M21 + M31 * M31
+    g12 = M11 * M12 + M21 * M22 + M31 * M32
+    g22 = M12 * M12 + M22 * M22 + M32 * M32
+    h1 = M11 * M13 + M21 * M23 + M31 * M33
+    h2 = M12 * M13 + M22 * M23 + M32 * M33
+    det_g = g11 * g22 - g12 * g12
+    det_safe = jnp.where(jnp.abs(det_g) > 1e-30, det_g, 1e-30)
+    x = -(g22 * h1 - g12 * h2) / det_safe
+    y = -(g11 * h2 - g12 * h1) / det_safe
+    ok = rvalid & (jnp.abs(det_g) > 1e-25)
+
+    xyz = jnp.stack([x, y, roots], axis=-1)  # (..., 10, 3)
+    xyz = _polish_xyz(Ebasis, xyz)
+    ok = ok & jnp.all(jnp.abs(xyz) < 1e4, axis=-1) & jnp.all(
+        jnp.isfinite(xyz), axis=-1
+    )
+    xyz = jnp.clip(jnp.nan_to_num(xyz), -1e4, 1e4)
+    coeffs = jnp.concatenate(
+        [xyz, jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)], axis=-1
+    )
+    E = jnp.einsum("...rb,...bij->...rij", coeffs, Ebasis)
+    nrm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
+    E = E / jnp.maximum(nrm, 1e-12)[..., None, None]
+    valid = ok & okA[..., None] & (nrm > 1e-9) & jnp.isfinite(nrm) & jnp.all(
+        jnp.isfinite(E), axis=(-1, -2)
+    )
+    E = jnp.where(valid[..., None, None], E, jnp.eye(3, dtype=E.dtype))
     return E, valid
 
 

@@ -2,10 +2,13 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from conftest import random_pose, synthetic_correspondences
 from matchinglib_poselib_tpu.ops import geometry as geo
 from matchinglib_poselib_tpu.ops import solvers
+
+FIVEPT = {"stewenius": solvers.solve_5pt, "nister": solvers.solve_5pt_nister}
 
 
 def _best_sampson(E, valid, x1, x2):
@@ -16,10 +19,11 @@ def _best_sampson(E, valid, x1, x2):
     return mean.min(), int(np.argmin(mean))
 
 
-def test_5pt_single(rng):
+@pytest.mark.parametrize("variant", sorted(FIVEPT))
+def test_5pt_single(rng, variant):
     R, t = random_pose(rng)
     x1, x2 = synthetic_correspondences(rng, R, t, 5)
-    E, valid = solvers.solve_5pt(
+    E, valid = FIVEPT[variant](
         jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)
     )
     assert bool(np.asarray(valid).any())
@@ -29,7 +33,8 @@ def test_5pt_single(rng):
     assert best < 1e-6, f"best validation Sampson err {best}"
 
 
-def test_5pt_batch_success_rate(rng):
+@pytest.mark.parametrize("variant", sorted(FIVEPT))
+def test_5pt_batch_success_rate(rng, variant):
     B = 64
     oks = 0
     Es, x1s, x2s, poses = [], [], [], []
@@ -42,7 +47,7 @@ def test_5pt_batch_success_rate(rng):
         poses.append((xv1, xv2))
     X1 = jnp.asarray(np.stack(x1s), jnp.float32)
     X2 = jnp.asarray(np.stack(x2s), jnp.float32)
-    E, valid = solvers.solve_5pt(X1, X2)  # (B, 10, 3, 3)
+    E, valid = FIVEPT[variant](X1, X2)  # (B, 10, 3, 3)
     for b in range(B):
         xv1, xv2 = poses[b]
         best, _ = _best_sampson(
@@ -54,10 +59,11 @@ def test_5pt_batch_success_rate(rng):
     assert oks >= int(0.9 * B), f"only {oks}/{B} minimal problems solved"
 
 
-def test_5pt_recovers_pose(rng):
+@pytest.mark.parametrize("variant", sorted(FIVEPT))
+def test_5pt_recovers_pose(rng, variant):
     R, t = random_pose(rng)
     x1, x2 = synthetic_correspondences(rng, R, t, 5)
-    E, valid = solvers.solve_5pt(
+    E, valid = FIVEPT[variant](
         jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)
     )
     xv1, xv2 = synthetic_correspondences(rng, R, t, 100)
