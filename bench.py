@@ -56,7 +56,14 @@ def main():
         robust=RobustConfig(batch_hypotheses=256, max_batches=4)
     )
 
-    def step(i1, i2, key):
+    base_key = jax.random.PRNGKey(0)
+
+    # The per-frame PRNG fold stays INSIDE the jit and the frame index is
+    # passed as a Python scalar: materializing a fresh key array on the
+    # host per frame costs one extra device round trip per dispatch
+    # (~40 ms through a tunneled chip), 3-4x the whole compute step.
+    def step(i1, i2, frame_idx):
+        key = jax.random.fold_in(base_key, frame_idx)
         corr = pipeline.get_correspondences(i1, i2, det, desc, match)
         res = pipeline.estimate_pose(
             corr.pts1, corr.pts2, corr.mask, corr.quality,
@@ -67,16 +74,15 @@ def main():
     stepj = jax.jit(step)
     i1 = jnp.asarray(img1)
     i2 = jnp.asarray(img2)
-    key = jax.random.PRNGKey(0)
 
     # warmup/compile
-    out = stepj(i1, i2, key)
+    out = stepj(i1, i2, 0)
     jax.block_until_ready(out)
 
-    n_iter = 20
+    n_iter = 50
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = stepj(i1, i2, jax.random.fold_in(key, i))
+        out = stepj(i1, i2, i)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
