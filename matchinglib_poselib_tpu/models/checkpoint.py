@@ -74,7 +74,9 @@ def save_stereo_refine(sr, path: str | os.PathLike) -> None:
                 hist_R=hist_R,
                 hist_t=hist_t,
                 ratio_history=np.asarray(sr.ratio_history, np.float64),
-                prng_key=np.asarray(sr._key),  # old-style uint32[2] key
+                # key_data handles both legacy raw uint32[2] keys and typed
+                # PRNG keys (jax_enable_custom_prng / jax.random.key)
+                prng_key=np.asarray(jax.random.key_data(sr._key)),
                 **pool_arrays,
             )
         os.replace(tmp, path)  # atomic publish
@@ -117,7 +119,11 @@ def load_stereo_refine(sr, path: str | os.PathLike) -> None:
             for i in range(z["hist_R"].shape[0])
         ]
         sr.ratio_history = [float(r) for r in z["ratio_history"]]
-        sr._key = jnp.asarray(z["prng_key"], jnp.uint32)
+        raw = jnp.asarray(z["prng_key"], jnp.uint32)
+        if jax.dtypes.issubdtype(sr._key.dtype, jax.dtypes.prng_key):
+            sr._key = jax.random.wrap_key_data(raw)
+        else:
+            sr._key = raw
         sr.nr_estimation = scalars["nr_estimation"]
         sr.frame_idx = scalars["frame_idx"]
         sr.skip_count = scalars["skip_count"]

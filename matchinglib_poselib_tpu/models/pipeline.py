@@ -239,6 +239,11 @@ def estimate_pose(
             max_threshold=MAX_PIX_TH / f_mean,
         )
         res, degen = ath.result, ath.degen
+        E = res.model
+        inl = res.inlier_mask
+        degen_flag = (
+            degen.is_degenerate if degen is not None else jnp.asarray(False)
+        )
     else:
         res, degen = robust.estimate_essential_robust(
             x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,

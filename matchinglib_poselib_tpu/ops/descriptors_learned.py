@@ -105,9 +105,11 @@ def latch_descriptor(
     s1 = sample(box, gx, gy)  # (K, B, 3) window sums
     s2 = sample(box2, gx, gy)  # window sums of squares
     # SSD(a, b) = sum a^2 + sum b^2 - 2 sum(ab); the cross term needs the
-    # actual windows — approximate with normalized-mean distance, which
-    # preserves the comparison ordering LATCH thresholds on:
-    # d(a,b) ~ (mu_a - mu_b)^2 + (va - vb)^2 over the window
+    # actual windows. We approximate with a moment distance
+    # d(a,b) ~ (mu_a - mu_b)^2 + (va - vb)^2 — an approximation consistent
+    # with the documented procedural-table substitution (it ignores the SSD
+    # cross term, so orderings can differ for windows with equal moments but
+    # different spatial structure)
     mu = s1 / (w * w)
     var = jnp.maximum(s2 / (w * w) - mu * mu, 0.0)
     da = (mu[:, :, 1] - mu[:, :, 0]) ** 2 + (var[:, :, 1] - var[:, :, 0]) ** 2

@@ -136,7 +136,20 @@ def refine_essential_linear(
         kn = eigensolver.refine_essential_kneip(E, x1, x2, inl)
         err_k = geo.sampson_error(kn.E, x1, x2)
         inl_k = (err_k < threshold_sq) & maskb
-        keep = jnp.sum(inl_k) >= jnp.sum(inl)
+        n_k = jnp.sum(inl_k)
+        n_cur = jnp.sum(inl)
+        err_cur = geo.sampson_error(E, x1, x2)
+
+        def _mean_inl(e, m):
+            n = jnp.maximum(jnp.sum(m.astype(e.dtype)), 1.0)
+            return jnp.sum(jnp.where(m, e, 0.0)) / n
+
+        # accept on strictly more inliers; break equal-count ties on mean
+        # Sampson error, and never accept an empty or non-finite model
+        keep = (n_k > 0) & jnp.all(jnp.isfinite(kn.E)) & (
+            (n_k > n_cur)
+            | ((n_k == n_cur) & (_mean_inl(err_k, inl_k) < _mean_inl(err_cur, inl)))
+        )
         E = jnp.where(keep, kn.E, E)
         inl = jnp.where(keep, inl_k, inl)
     err = geo.sampson_error(E, x1, x2)

@@ -614,7 +614,9 @@ def estimate_rotation_robust(
     err = rotation_reproj_error(R_fit[None], x1, x2)[0]
     inl = (err < res.threshold) & mask.astype(bool)
     n_new = jnp.sum(inl).astype(jnp.int32)
-    better = n_new >= res.n_inliers
+    # strict improvement + non-empty support + finite model: a rank-deficient
+    # all-points fit must never displace the RANSAC model on a 0-0 tie
+    better = (n_new > res.n_inliers) & (n_new > 0) & jnp.all(jnp.isfinite(R_fit))
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return res._replace(
         model=jnp.where(better, R_fit, res.model),

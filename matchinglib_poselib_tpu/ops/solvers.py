@@ -712,10 +712,15 @@ def _real_roots_poly10(a: jax.Array):
     sign = jnp.sign(g)
     flips = sign[..., :-1] * sign[..., 1:] < 0
 
-    iota = jnp.arange(_N_THETA_N - 1)
-    cand = jnp.where(flips, iota, _N_THETA_N - 1)
-    cand = jnp.sort(cand, axis=-1)[..., :_MAX_ROOTS]
-    valid = cand < (_N_THETA_N - 1)
+    # a degree-10 polynomial has at most 10 real roots, but f32 noise can
+    # produce extra spurious crossings; rank candidate intervals by bracket
+    # strength (endpoint magnitudes — noise flips sit at rounding level)
+    # instead of scan position, so genuine roots are never displaced
+    strength = jnp.where(
+        flips, jnp.abs(g[..., :-1]) + jnp.abs(g[..., 1:]), -1.0
+    )
+    _, cand = jax.lax.top_k(strength, _MAX_ROOTS)
+    valid = jnp.take_along_axis(strength, cand, axis=-1) > 0
     cand = jnp.minimum(cand, _N_THETA_N - 2)
 
     lo = theta[cand]
