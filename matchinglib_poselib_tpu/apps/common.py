@@ -105,6 +105,8 @@ def add_stereo_refine_options(p: argparse.ArgumentParser):
     p.add_argument("--checkPoolPoseRobust", type=int, default=3)
     p.add_argument("--minNormDistStable", type=float, default=0.5)
     p.add_argument("--raiseSkipCnt", default="00")
+    p.add_argument("--maxRat3DPtsFar", type=float, default=0.4)
+    p.add_argument("--maxDist3DPtsZ", type=float, default=130.0)
 
 
 def matching_configs(args):
@@ -130,14 +132,18 @@ _SOLVER_BY_DIGIT5 = {
     "2": MinimalSolver.STEWENIUS_5PT,
 }
 
+# refineRT 1st digit (main.cpp:339-354): (enabled, solver, kneipInsteadBA)
 _REFINE_ALG = {
-    "0": (False, MinimalSolver.EIGHT_PT),
-    "1": (True, MinimalSolver.EIGHT_PT),
-    "2": (True, MinimalSolver.EIGHT_PT),
-    "3": (True, MinimalSolver.NISTER_5PT),
-    "4": (True, MinimalSolver.STEWENIUS_5PT),
-    "5": (True, MinimalSolver.EIGHT_PT),  # Kneip on robust output
-    "6": (True, MinimalSolver.EIGHT_PT),  # Kneip after triangulation
+    "0": (False, MinimalSolver.EIGHT_PT, False),
+    "1": (True, MinimalSolver.EIGHT_PT, False),
+    "2": (True, MinimalSolver.EIGHT_PT, False),
+    "3": (True, MinimalSolver.NISTER_5PT, False),
+    "4": (True, MinimalSolver.STEWENIUS_5PT, False),
+    # Kneip's eigensolver applied on the robust output (PR_KNEIP)
+    "5": (True, MinimalSolver.KNEIP, False),
+    # Kneip after triangulation = BA substitute (kneipInsteadBA,
+    # main.cpp:842-844)
+    "6": (True, MinimalSolver.KNEIP, True),
 }
 
 _REFINE_W = {
@@ -159,7 +165,9 @@ def pose_config(args) -> PoseConfig:
         degen_decision_ratio=args.USACdegenTh,
     )
     rrt = (args.refineRT + "22")[:2]
-    enabled, solver = _REFINE_ALG.get(rrt[0], (True, MinimalSolver.EIGHT_PT))
+    enabled, solver, kneip_iba = _REFINE_ALG.get(
+        rrt[0], (True, MinimalSolver.EIGHT_PT, False)
+    )
     ref = RefinementConfig(
         enabled=enabled,
         solver=solver,
@@ -169,10 +177,34 @@ def pose_config(args) -> PoseConfig:
     return PoseConfig(
         robust=rob, refine=ref, ba=ba, auto_th=args.autoTH,
         use_halign=args.Halign > 0,
+    ), kneip_iba
+
+
+def _parse_raise_skip_cnt(s: str) -> int:
+    """2-digit CLI value 'fc' -> bit-packed raiseSkipCnt (main.cpp:1135):
+    low nibble = factor digit, high nibble = consecutive-poses digit."""
+    s = (str(s) + "00")[:2]
+    try:
+        f, c = int(s[0]), int(s[1])
+    except ValueError:
+        return 0
+    return (c << 4) | f
+
+
+def stereo_refine_config(args, pose: PoseConfig,
+                         kneip_iba: bool = False) -> StereoRefineConfig:
+    rrt_s = (args.refineRT_stereo + "22")[:2]
+    en_s, solver_s, kneip_iba_s = _REFINE_ALG.get(
+        rrt_s[0], (True, MinimalSolver.EIGHT_PT, False)
     )
-
-
-def stereo_refine_config(args, pose: PoseConfig) -> StereoRefineConfig:
+    refine_pool = RefinementConfig(
+        enabled=en_s,
+        solver=solver_s,
+        weights=_REFINE_W.get(rrt_s[1], RefineWeights.PSEUDO_HUBER),
+    )
+    ba_pool = BAConfig(
+        enabled=args.BART_stereo > 0, fix_intrinsics=args.BART_stereo != 2
+    )
     return StereoRefineConfig(
         max_pool_correspondences=args.maxPoolCorrespondences,
         min_pts_distance=args.minPtsDistance,
@@ -185,7 +217,16 @@ def stereo_refine_config(args, pose: PoseConfig) -> StereoRefineConfig:
         max_skip_pairs=args.maxSkipPairs,
         min_inlier_ratio_reinit=args.minInlierRatioReInit,
         min_cont_stable_poses=args.minContStablePoses,
+        abs_th_ranking_stable=args.absThRankingStable,
+        min_norm_dist_stable=args.minNormDistStable,
+        raise_skip_cnt=_parse_raise_skip_cnt(args.raiseSkipCnt),
+        max_rat_3d_pts_far=args.maxRat3DPtsFar,
+        max_dist_3d_pts_z=args.maxDist3DPtsZ,
         use_ransac_few_matches=args.useRANSAC_fewMatches,
+        kneip_instead_ba=kneip_iba,
+        kneip_instead_ba_pool=kneip_iba_s,
+        refine_pool=refine_pool,
+        ba_pool=ba_pool,
         verbose=args.v,
         pose=pose,
     )

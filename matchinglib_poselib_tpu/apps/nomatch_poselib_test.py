@@ -206,7 +206,7 @@ def main(argv=None):
     import jax
 
     pose_args = argparse.Namespace(**vars(args))
-    pose_cfg = common.pose_config(pose_args)
+    pose_cfg, kneip_iba = common.pose_config(pose_args)
 
     frames = sorted(
         pathlib.Path(args.sequ_path).glob(f"frame_*.{args.ovf_ext}")
@@ -221,7 +221,7 @@ def main(argv=None):
         first = np.load(frames[0])
         stereo_ref = StereoRefine(
             first["K1"], first["K2"],
-            cfg=common.stereo_refine_config(args, pose_cfg),
+            cfg=common.stereo_refine_config(args, pose_cfg, kneip_iba),
         )
 
     out = pathlib.Path(args.output_path)

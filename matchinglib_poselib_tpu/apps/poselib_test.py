@@ -46,7 +46,7 @@ def main(argv=None):
     from matchinglib_poselib_tpu.ops import geometry as geo, rectify
 
     det, desc, match = common.matching_configs(args)
-    pose_cfg = common.pose_config(args)
+    pose_cfg, kneip_iba = common.pose_config(args)
     timer = common.StageTimer(args.v)
 
     img_dir = pathlib.Path(args.img_path)
@@ -76,7 +76,7 @@ def main(argv=None):
         stereo_ref = StereoRefine(
             np.asarray(calib.K0), np.asarray(calib.K1),
             np.asarray(calib.dist0[:5]), np.asarray(calib.dist1[:5]),
-            cfg=common.stereo_refine_config(args, pose_cfg),
+            cfg=common.stereo_refine_config(args, pose_cfg, kneip_iba),
         )
 
     key = jax.random.PRNGKey(0)

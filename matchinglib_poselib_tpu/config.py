@@ -206,13 +206,26 @@ class StereoRefineConfig:
     min_inlier_rat_skip: float = 0.38
     rel_min_inlier_rat_skip: float = 0.7
     max_skip_pairs: int = 5
-    min_inlier_ratio_reinit: float = 0.67
-    min_normal_distribution: float = 0.05
-    # stability detection (:126-131)
+    min_inlier_ratio_reinit: float = 0.6
+    # stability detection (:131-136, :176-178)
     min_cont_stable_poses: int = 3
-    abs_thresh_diff: float = 0.5
-    max_rat_frame_to_frame: float = 0.1
-    # misc
+    abs_th_ranking_stable: float = 0.075  # ranking band half-width (:132)
+    min_norm_dist_stable: float = 0.5  # min normalized CoG distance (:136)
+    # raiseSkipCnt bit-packing (:176): low nibble = extra 0.25x factors on
+    # maxSkipPairs once stable, high nibble + 1 = consecutive stable poses
+    # required before raising
+    raise_skip_cnt: int = 0
+    # far-3D-point handling (:177-178)
+    max_rat_3d_pts_far: float = 0.5
+    max_dist_3d_pts_z: float = 50.0
+    # RANSAC fallback for sparse frames (:133; .cpp:1295-1323 uses < 100)
     use_ransac_few_matches: bool = False
+    # Kneip eigensolver instead of BA (:153/:157)
+    kneip_instead_ba: bool = False
+    kneip_instead_ba_pool: bool = False
+    # pool-path refinement/BA configs (refineMethod_CorrPool/BART_CorrPool,
+    # :155-158) — the per-frame path uses pose.refine / pose.ba
+    refine_pool: RefinementConfig = RefinementConfig()
+    ba_pool: BAConfig = BAConfig()
     verbose: int = 0
     pose: PoseConfig = PoseConfig()

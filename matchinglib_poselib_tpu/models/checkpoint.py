@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from matchinglib_poselib_tpu.ops import pool as poolops
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_stereo_refine(sr, path: str | os.PathLike) -> None:
@@ -54,8 +54,17 @@ def save_stereo_refine(sr, path: str | os.PathLike) -> None:
         "max_skip_pairs_new": int(sr.max_skip_pairs_new),
         "pose_is_stable": bool(sr.pose_is_stable),
         "most_likely_pose_stable": bool(sr.most_likely_pose_stable),
-        "frames_since_pool_robust": int(sr._frames_since_pool_robust),
-        "pool_robust_interval": int(sr._pool_robust_interval),
+        "nr_since_robust": int(sr._nr_since_robust),
+        "check_pool_robust_tmp": int(sr._check_pool_robust_tmp),
+        "init_number_inliers": int(sr._init_number_inliers),
+        "failed_refinements": int(sr._failed_refinements),
+        "max_pool_size_reached": bool(sr.max_pool_size_reached),
+        "nr_consec_stable": int(sr.nr_consec_stable),
+        "stability_tries": int(sr._stability_tries),
+        "most_likely_idxs": [int(i) for i in sr.most_likely_idxs[-100:]],
+        "pose_ratings": [float(r) for r in sr.pose_ratings],
+        "err_stat_history": [[float(m), float(s)]
+                             for m, s in sr.err_stat_history[-100:]],
     }
     path.parent.mkdir(parents=True, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
@@ -130,5 +139,15 @@ def load_stereo_refine(sr, path: str | os.PathLike) -> None:
         sr.max_skip_pairs_new = scalars["max_skip_pairs_new"]
         sr.pose_is_stable = scalars["pose_is_stable"]
         sr.most_likely_pose_stable = scalars["most_likely_pose_stable"]
-        sr._frames_since_pool_robust = scalars["frames_since_pool_robust"]
-        sr._pool_robust_interval = scalars["pool_robust_interval"]
+        sr._nr_since_robust = scalars["nr_since_robust"]
+        sr._check_pool_robust_tmp = scalars["check_pool_robust_tmp"]
+        sr._init_number_inliers = scalars["init_number_inliers"]
+        sr._failed_refinements = scalars["failed_refinements"]
+        sr.max_pool_size_reached = scalars["max_pool_size_reached"]
+        sr.nr_consec_stable = scalars["nr_consec_stable"]
+        sr._stability_tries = scalars["stability_tries"]
+        sr.most_likely_idxs = [int(i) for i in scalars["most_likely_idxs"]]
+        sr.pose_ratings = [float(r) for r in scalars["pose_ratings"]]
+        sr.err_stat_history = [
+            (float(m), float(sd)) for m, sd in scalars["err_stat_history"]
+        ]

@@ -2,19 +2,30 @@
 
 TPU-native re-design of poselib::StereoRefine (SURVEY.md P14, §3.4;
 reference: poselib/source/stereo_pose_refinement.cpp, header
-stereo_pose_refinement.h:100-176 ConfigPoseEstimation):
+stereo_pose_refinement.h:100-178 ConfigPoseEstimation):
 
 - per-frame flow of addNewCorrespondences (:416-952): undistort -> inlier
-  check vs pose history -> {robust re-estimation | pool refinement | skip |
-  reinit} state machine
-- correspondence pool with spatial dedup, weight eviction and outlier
-  removal (ops/pool.py replaces the std::list + nanoflann KD-tree)
-- pose history ring with most-likely-pose ranking (getNearToMeanPose :2817)
-  and stability detection (checkPoseStability :3131-3299)
-- skip-and-restore with maxSkipPairs escalation (updateMaxSkipPairs :3300)
+  check vs the last pose -> {robust re-estimation | pool refinement | skip |
+  reinit} state machine driven by the reference's inlier-ratio thresholds
+  (relInlRatThLast/relInlRatThNew/minInlierRatSkip/minInlierRatioReInit)
+- correspondence pool with spatial dedup, weight eviction, outlier removal,
+  triangulated 3D points with far-point flags, nrFound counters and
+  per-correspondence Sampson-error history (ops/pool.py replaces the
+  std::list + nanoflann KD-tree)
+- ranking-based stability detection: robust center of gravity over the
+  rotated-point history (getNearToMeanPose :2817-3117), ranking-band
+  stability with the Sampson-error-range fallback (checkPoseStability
+  :3131-3296) and most-likely-pose persistence
+- skip-and-restore with raiseSkipCnt escalation (updateMaxSkipPairs :3300)
+- RANSAC fallback for sparse frames (useRANSAC_fewMatches, :1295-1323)
+- Kneip eigensolver instead of BA (kneipInsteadBA(_CorrPool), :1593-1695)
+  with the reference's Stewenius+pseudo-Huber / BA failure fallbacks
+- pool-path refinement/BA configured separately from the per-frame path
+  (refineMethod_CorrPool / BART_CorrPool, :1767-1990), far 3D points
+  excluded from BA (maxDist3DPtsZ)
 - algorithmic failure recovery (SURVEY.md §5.3): restore-old-pose on bad
-  pairs, full reinit after too many skips, pool-robust fallback, BA
-  restore guards
+  pairs, full reinit after too many skips, pool-robust fallback,
+  failed-refinement escalation, BA restore guards
 
 Design split: the branchy per-frame decision logic runs on host over a
 handful of scalars (one device->host sync per frame); every heavy
@@ -34,9 +45,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from matchinglib_poselib_tpu.config import StereoRefineConfig
-from matchinglib_poselib_tpu.ops import ba, geometry as geo, pool as poolops
+from matchinglib_poselib_tpu.config import (
+    PoseEstimator,
+    StereoRefineConfig,
+)
+from matchinglib_poselib_tpu.ops import ba, eigensolver, geometry as geo
+from matchinglib_poselib_tpu.ops import pool as poolops
 from matchinglib_poselib_tpu.ops import refine, robust
+
+# Minimum matches below which useRANSAC_fewMatches switches the estimator
+# (stereo_pose_refinement.cpp:1295 uses points1newMat.rows < 100; the
+# header comment :133 says 150 — the code wins)
+FEW_MATCHES_THRESHOLD = 100
+# Minimum pool occupancy before stability can be evaluated
+# (checkPoseStability :3135 minPoolSizeToBeStable)
+MIN_POOL_SIZE_STABLE = 1000
 
 
 class FrameResult(NamedTuple):
@@ -60,51 +83,128 @@ class FrameResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _robust_pose(x1, x2, mask, quality, th_sq, cfg, key):
-    """Robust E + pose recovery on one (padded) correspondence set."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("robust_cfg", "refine_cfg", "ba_cfg", "kneip_iba"),
+)
+def _pose_from_set(
+    x1, x2, mask, quality, th_sq, robust_cfg, refine_cfg, ba_cfg,
+    kneip_iba, max_dist_z, key,
+):
+    """Robust E + refinement + pose recovery (+ Kneip-instead-BA / BA) on
+    one (padded) correspondence set.
+
+    Mirrors robustPoseEstimation (stereo_pose_refinement.cpp:1272-1736):
+    robust engine -> optional linear refinement -> recoverPose -> either
+    Kneip's eigensolver as the BA substitute (:1593-1650, falling back to
+    BA / weighted Stewenius on failure :1651-1695) or BA (:1697-1724),
+    with far 3D points (z > maxDist3DPtsZ) excluded from BA.
+    """
     res, _ = robust.estimate_essential_robust(
-        x1, x2, mask, quality, cfg.pose.robust, key, threshold_sq=th_sq
+        x1, x2, mask, quality, robust_cfg, key, threshold_sq=th_sq
     )
     E = res.model
     inl = res.inlier_mask
-    if cfg.pose.refine.enabled:
+    if refine_cfg.enabled:
         rres = refine.refine_essential_linear(
-            E, x1, x2, mask, res.threshold, cfg.pose.refine
+            E, x1, x2, mask, res.threshold, refine_cfg
         )
         keep = rres.n_inliers >= (res.n_inliers // 2)
         E = jnp.where(keep, rres.model, E)
         inl = jnp.where(keep, rres.inlier_mask, inl)
     R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(x1.dtype))
+
+    kneip_ok = jnp.asarray(False)
+    if kneip_iba:
+        kn = eigensolver.refine_essential_kneip(E, x1, x2, inl)
+        err_k = geo.sampson_error(kn.E, x1, x2)
+        inl_k = (err_k < res.threshold) & mask.astype(bool)
+        n_k = jnp.sum(inl_k)
+        kneip_ok = (
+            (n_k >= jnp.sum(inl) // 2)
+            & (n_k > 0)
+            & jnp.all(jnp.isfinite(kn.E))
+        )
+        E = jnp.where(kneip_ok, kn.E, E)
+        R = jnp.where(kneip_ok, kn.R, R)
+        t = jnp.where(kneip_ok, kn.t, t)
+        inl = jnp.where(kneip_ok, inl_k, inl)
+        X = geo.triangulate_linear(R, t, x1, x2)
+        z2 = (X @ R.T + t)[:, 2]
+        ok3d = (X[:, 2] > 0) & (z2 > 0)
+
+    if ba_cfg.enabled:
+        # exclude far points from BA (maxDist3DPtsZ, triangPts3D semantics)
+        ba_mask = inl & ok3d & (X[:, 2] <= max_dist_z)
+        eyeK = jnp.eye(3, dtype=x1.dtype)
+        bres = ba.refine_stereo_ba(
+            R, t, x1, x2, X, ba_mask.astype(x1.dtype), eyeK, eyeK, ba_cfg,
+            huber_delta=jnp.sqrt(th_sq),
+        )
+        # when Kneip succeeded it replaces BA (useBA=false, :1633/:1697)
+        R = jnp.where(kneip_ok, R, bres.R)
+        t = jnp.where(kneip_ok, t, bres.t)
+        E = jnp.where(kneip_ok, E, geo.essential_from_rt(bres.R, bres.t))
+        inl = jnp.where(
+            kneip_ok, inl,
+            (geo.sampson_error(E, x1, x2) < res.threshold) & mask.astype(bool),
+        )
+
     n_valid = jnp.maximum(jnp.sum(mask), 1.0)
     ratio = jnp.sum(inl).astype(x1.dtype) / n_valid
-    return E, R, t, inl, ratio, X, ok3d
+    return E, R, t, inl, ratio
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _refine_pool_pose(E0, pool: poolops.Pool, th_sq, cfg):
-    """IRLS linear refinement of the pose on ALL pool correspondences,
-    optionally followed by BA on the pool inliers (refinePoseFromPool,
-    stereo_pose_refinement.cpp:1767)."""
+@functools.partial(
+    jax.jit, static_argnames=("refine_cfg", "ba_cfg", "kneip_iba")
+)
+def _refine_pool_pose(
+    E0, pool: poolops.Pool, th_sq, refine_cfg, ba_cfg, kneip_iba, max_dist_z
+):
+    """Linear refinement of the pose on ALL pool correspondences with the
+    pool-path configs, optionally followed by Kneip-instead-BA or BA
+    (refinePoseFromPool, stereo_pose_refinement.cpp:1767-1990)."""
     maskf = pool.valid.astype(pool.x1.dtype)
     rres = refine.refine_essential_linear(
-        E0, pool.x1, pool.x2, maskf, th_sq, cfg.pose.refine
+        E0, pool.x1, pool.x2, maskf, th_sq, refine_cfg
     )
     E = rres.model
     inl = rres.inlier_mask
     R, t, X, ok3d, _ = geo.recover_pose(
         E, pool.x1, pool.x2, inl.astype(pool.x1.dtype)
     )
-    if cfg.pose.ba.enabled:
+
+    kneip_ok = jnp.asarray(False)
+    if kneip_iba:
+        kn = eigensolver.refine_essential_kneip(E, pool.x1, pool.x2, inl)
+        err_k = geo.sampson_error(kn.E, pool.x1, pool.x2)
+        inl_k = (err_k < th_sq) & pool.valid
+        n_k = jnp.sum(inl_k)
+        kneip_ok = (
+            (n_k >= jnp.sum(inl) // 2)
+            & (n_k > 0)
+            & jnp.all(jnp.isfinite(kn.E))
+        )
+        E = jnp.where(kneip_ok, kn.E, E)
+        R = jnp.where(kneip_ok, kn.R, R)
+        t = jnp.where(kneip_ok, kn.t, t)
+        inl = jnp.where(kneip_ok, inl_k, inl)
+        X = geo.triangulate_linear(R, t, pool.x1, pool.x2)
+        z2 = (X @ R.T + t)[:, 2]
+        ok3d = (X[:, 2] > 0) & (z2 > 0)
+
+    if ba_cfg.enabled:
+        ba_mask = inl & ok3d & (X[:, 2] <= max_dist_z)
         eyeK = jnp.eye(3, dtype=pool.x1.dtype)
         bres = ba.refine_stereo_ba(
-            R, t, pool.x1, pool.x2, X,
-            (inl & ok3d).astype(pool.x1.dtype), eyeK, eyeK, cfg.pose.ba,
-            huber_delta=jnp.sqrt(th_sq),
+            R, t, pool.x1, pool.x2, X, ba_mask.astype(pool.x1.dtype),
+            eyeK, eyeK, ba_cfg, huber_delta=jnp.sqrt(th_sq),
         )
-        R, t = bres.R, bres.t
-        E = geo.essential_from_rt(R, t)
-        inl = (geo.sampson_error(E, pool.x1, pool.x2) < th_sq) & pool.valid
+        R = jnp.where(kneip_ok, R, bres.R)
+        t = jnp.where(kneip_ok, t, bres.t)
+        E = jnp.where(kneip_ok, E, geo.essential_from_rt(bres.R, bres.t))
+
+    inl = (geo.sampson_error(E, pool.x1, pool.x2) < th_sq) & pool.valid
     n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
     ratio = jnp.sum(inl).astype(pool.x1.dtype) / n_valid
     return E, R, t, ratio
@@ -115,7 +215,7 @@ def _frame_inlier_ratio(E, x1, x2, mask, th_sq):
     err = geo.sampson_error(E, x1, x2)
     inl = (err < th_sq) & mask.astype(bool)
     n = jnp.maximum(jnp.sum(mask), 1.0)
-    return jnp.sum(inl).astype(x1.dtype) / n, inl
+    return jnp.sum(inl).astype(x1.dtype) / n, inl, err
 
 
 @jax.jit
@@ -139,6 +239,9 @@ class StereoRefine:
     translation.
     """
 
+    # test hooks (reference constants)
+    min_pool_size_stable = MIN_POOL_SIZE_STABLE
+
     def __init__(
         self,
         K1: np.ndarray,
@@ -160,14 +263,16 @@ class StereoRefine:
         f_mean = float(K1[0][0] + K1[1][1] + K2[0][0] + K2[1][1]) / 4.0
         th = cfg.pose.robust.threshold_px / f_mean
         self.th_sq = jnp.asarray(th * th, jnp.float32)
+        # maxDist3DPtsZ is a depth in units of the (unit) baseline
+        self.max_dist_z = jnp.asarray(cfg.max_dist_3d_pts_z, jnp.float32)
         self._key = jax.random.PRNGKey(seed)
         self.reset()
 
     # -- state management ---------------------------------------------------
 
     def reset(self):
-        """Full reinitialization (reinitializeSystem,
-        stereo_pose_refinement.cpp:1025): pool + history + counters."""
+        """Full reinitialization (reinitializeSystem / clearHistoryAndPool,
+        stereo_pose_refinement.cpp:1025-1070): pool + history + counters."""
         self.pool = poolops.empty_pool(self.cfg.max_pool_correspondences)
         self.R = np.eye(3)
         self.t = np.array([1.0, 0.0, 0.0])
@@ -178,21 +283,33 @@ class StereoRefine:
         self.max_skip_pairs_new = self.cfg.max_skip_pairs
         self.pose_history: list[tuple[np.ndarray, np.ndarray]] = []
         self.ratio_history: list[float] = []
+        # per-estimation (mean, std) of sqrt-Sampson over new-pair inliers
+        # (errorStatistic_history, :858)
+        self.err_stat_history: list[tuple[float, float]] = []
+        # rating per pose from getNearToMeanPose; most-likely winner indices
+        self.pose_ratings: list[float] = []
+        self.most_likely_idxs: list[int] = []
         self.pose_is_stable = False
         self.most_likely_pose_stable = False
+        self.nr_consec_stable = 0
+        self._stability_tries = 0
         self.R_most_likely = np.eye(3)
         self.t_most_likely = np.array([1.0, 0.0, 0.0])
-        self._frames_since_pool_robust = 0
-        self._pool_robust_interval = self.cfg.check_pool_pose_robust
+        # checkPoolPoseRobust schedule state (:680-716)
+        self._nr_since_robust = 0
+        self._check_pool_robust_tmp = max(self.cfg.check_pool_pose_robust, 1)
+        self._init_number_inliers = 0
+        self._failed_refinements = 0
+        self.max_pool_size_reached = False
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
 
-    def _hist_ratio(self) -> float:
-        if not self.ratio_history:
-            return 0.0
-        return float(np.mean(self.ratio_history[-10:]))
+    def _log(self, msg: str):
+        """Reference-style state-transition prints (cfg.verbose, :501-560)."""
+        if self.cfg.verbose > 0:
+            print(f"[StereoRefine] {msg}")
 
     def _push_history(self, R, t, ratio: float):
         self.pose_history.append((np.asarray(R), np.asarray(t)))
@@ -200,8 +317,34 @@ class StereoRefine:
         if len(self.pose_history) > 100:
             self.pose_history = self.pose_history[-100:]
             self.ratio_history = self.ratio_history[-100:]
+            self.err_stat_history = self.err_stat_history[-100:]
 
     # -- sub-steps ----------------------------------------------------------
+
+    def _robust_cfg(self, n_matches: int):
+        """useRANSAC_fewMatches (:1295-1323): sparse frames switch the
+        robust engine to plain RANSAC for this estimation only."""
+        rc = self.cfg.pose.robust
+        if (
+            self.cfg.use_ransac_few_matches
+            and n_matches < FEW_MATCHES_THRESHOLD
+            and (rc.estimator != PoseEstimator.RANSAC
+                 or self.cfg.pose.auto_th or self.cfg.pose.use_halign)
+        ):
+            rc = dataclasses.replace(
+                rc, estimator=PoseEstimator.RANSAC, prosac=False
+            )
+        return rc
+
+    def _frame_pose(self, x1, x2, mask, quality, n_matches: int):
+        """robustPoseEstimation on the new frame with the per-frame configs."""
+        return _pose_from_set(
+            x1, x2, mask, quality, self.th_sq,
+            self._robust_cfg(n_matches),
+            self.cfg.pose.refine, self.cfg.pose.ba,
+            self.cfg.kneip_instead_ba, self.max_dist_z,
+            self._next_key(),
+        )
 
     def _seed_pool(self, pts1, pts2, x1, x2, inl, desc_dist, response):
         """Replace the pool contents with the inliers of a fresh pose."""
@@ -212,78 +355,214 @@ class StereoRefine:
         self.pool = poolops.insert_and_evict(
             self.pool, pts1, pts2, x1, x2, desc_dist, response, err,
             jnp.where(inl, w, 0.0), inl,
-            jnp.asarray(self.frame_idx, jnp.int32),
         )
+        self._init_number_inliers = int(jnp.sum(inl))
+        self._nr_since_robust = 0
+        self._check_pool_robust_tmp = max(self.cfg.check_pool_pose_robust, 1)
 
     def _set_pose(self, E, R, t):
         self.E = np.asarray(E)
         self.R = np.asarray(R)
         self.t = np.asarray(t)
 
-    def _check_pose_stability(self):
-        """checkPoseStability (stereo_pose_refinement.cpp:3131-3299):
-        the pose is stable when the last `min_cont_stable_poses` accepted
-        poses agree pairwise within the absolute/relative thresholds."""
-        w = self.cfg.min_cont_stable_poses
-        if len(self.pose_history) < w:
-            self.pose_is_stable = False
-            return
-        recent = self.pose_history[-w:]
-        stable = True
-        for i in range(w - 1):
-            R1, t1 = recent[i]
-            R2, t2 = recent[i + 1]
-            dR = R1.T @ R2
-            ang = np.degrees(
-                np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))
-            )
-            dt = np.linalg.norm(t1 - t2)
-            if ang > self.cfg.abs_thresh_diff or dt > self.cfg.max_rat_frame_to_frame:
-                stable = False
-                break
-        self.pose_is_stable = stable
+    # -- stability detection --------------------------------------------------
 
-    def _get_near_to_mean_pose(self):
-        """getNearToMeanPose (stereo_pose_refinement.cpp:2817): rank the
-        pose history by distance to its center of gravity; the nearest
-        becomes the most-likely pose."""
-        if len(self.pose_history) < 2:
+    def _get_near_to_mean_pose(self) -> int:
+        """getNearToMeanPose (stereo_pose_refinement.cpp:2817-3117).
+
+        Each pose is summarized as the rotated-and-shifted probe point
+        R @ (0.5,0.5,0.5) + t. A robust center of gravity is computed by
+        per-coordinate outlier filtering (mu +- 3 sigma when mean and
+        median agree, inner-quartile band otherwise); poses valid on all
+        three coordinates vote for the CoG. The pose nearest to the CoG
+        becomes the most-likely pose, and every pose gets the normalized
+        rating 1 - d_i / (d_max + 0.0075 * |CoG|).
+
+        Returns 0 on success, -1 with <5 poses, -2 if the poses disagree.
+        """
+        n_p = len(self.pose_history)
+        if n_p < 5:
+            return -1
+        probe = np.array([0.5, 0.5, 0.5])
+        pts = np.stack(
+            [R @ probe + t for R, t in self.pose_history]
+        )  # (n_p, 3)
+
+        q0 = int(np.floor(n_p * 0.25 + 0.5))
+        q1 = n_p - q0
+        order = np.argsort(pts, axis=0)  # per-coordinate sort indices
+        sorted_pts = np.take_along_axis(pts, order, axis=0)
+
+        rng = sorted_pts[-1] - sorted_pts[0]  # (3,) coordinate ranges
+        over_range = bool(np.any(rng > 0.05))
+        median = np.median(sorted_pts, axis=0)
+        mean_all = pts.mean(axis=0)
+        inner = sorted_pts[q0:q1]
+        mean_inner = inner.mean(axis=0)
+        if over_range:
+            std = inner.std(axis=0, ddof=1) if inner.shape[0] > 1 else rng
+            center = mean_inner
+        else:
+            std = pts.std(axis=0, ddof=1) if n_p > 1 else rng
+            center = mean_all
+
+        # statFilterPossible: mean and median must agree in sign, ratio
+        # < 1.33 and absolute difference < 0.02 (:2965-2984)
+        stat_ok = np.zeros(3, bool)
+        for i in range(3):
+            a, m = mean_all[i], median[i]
+            if (a > 0 and m > 0) or (a < 0 and m < 0):
+                stat_ok[i] = (
+                    max(abs(a / m), abs(m / a)) <= 1.33
+                    and abs(a - m) <= 0.02
+                )
+            elif abs(a) < 1e-12 or abs(m) < 1e-12:
+                stat_ok[i] = abs(a - m) <= 0.02
+
+        valid = np.ones(n_p, bool)
+        if not stat_ok.any():
+            # intersection of the inner-quartile sets on all coordinates
+            for i in range(3):
+                sel = np.zeros(n_p, bool)
+                sel[order[q0:q1, i]] = True
+                valid &= sel
+        else:
+            lo = center - 3.0 * std
+            hi = center + 3.0 * std
+            for i in range(3):
+                if stat_ok[i]:
+                    valid &= (pts[:, i] > lo[i]) & (pts[:, i] < hi[i])
+                else:
+                    sel = np.zeros(n_p, bool)
+                    sel[order[q0:q1, i]] = True
+                    valid &= sel
+
+        if valid.sum() < 3:
+            return -2  # the poses are too different
+
+        cog = pts[valid].mean(axis=0)
+        dist = np.linalg.norm(pts - cog, axis=1)
+        best = int(np.argmin(dist))
+        self.R_most_likely = self.pose_history[best][0].copy()
+        self.t_most_likely = self.pose_history[best][1].copy()
+        self.most_likely_idxs.append(best)
+        max_dist = dist.max() + np.linalg.norm(cog) * 0.0075
+        self.pose_ratings = list(1.0 - dist / max(max_dist, 1e-12))
+        return 0
+
+    def _check_pose_stability(self):
+        """checkPoseStability (stereo_pose_refinement.cpp:3131-3296)."""
+        cfg = self.cfg
+        err = self._get_near_to_mean_pose()
+        if err:
+            self.pose_is_stable = False
+            self.most_likely_pose_stable = False
             self.R_most_likely = self.R.copy()
             self.t_most_likely = self.t.copy()
-            self.most_likely_pose_stable = False
+            if err != -2:
+                self._stability_tries = 0
             return
-        hist = self.pose_history[-20:]
-        quats = []
-        for R, _ in hist:
-            q = np.asarray(geo.quat_from_rot(jnp.asarray(R, jnp.float32)))
-            quats.append(q)
-        quats = np.stack(quats)
-        ts = np.stack([t for _, t in hist])
-        q_mean = quats.mean(axis=0)
-        q_mean /= max(np.linalg.norm(q_mean), 1e-12)
-        t_mean = ts.mean(axis=0)
-        t_mean /= max(np.linalg.norm(t_mean), 1e-12)
-        # distance = rotation angle to mean + translation chord to mean
-        dq = 2.0 * np.arccos(np.clip(np.abs(quats @ q_mean), -1.0, 1.0))
-        dt = np.linalg.norm(ts - t_mean, axis=1)
-        rank = dq + dt
-        best = int(np.argmin(rank))
-        self.R_most_likely = hist[best][0]
-        self.t_most_likely = hist[best][1]
-        # stable if the winner sits close to the center of gravity
-        self.most_likely_pose_stable = bool(
-            dq[best] < np.radians(self.cfg.abs_thresh_diff)
-            and dt[best] < self.cfg.max_rat_frame_to_frame
-        )
+
+        n_est = len(self.pose_history)
+        if (
+            n_est < cfg.min_cont_stable_poses
+            or int(self.pool.n_valid) < self.min_pool_size_stable
+        ):
+            self.pose_is_stable = False
+            self.most_likely_pose_stable = False
+            self._stability_tries = 0
+            return
+
+        # ranking-band check over the last minContStablePoses poses (:3158)
+        last = self.pose_ratings[-1]
+        lo, hi = last - cfg.abs_th_ranking_stable, last + cfg.abs_th_ranking_stable
+        stable = True
+        for k in range(2, cfg.min_cont_stable_poses + 1):
+            r = self.pose_ratings[n_est - k]
+            if not (lo < r < hi and r > cfg.min_norm_dist_stable):
+                stable = False
+                break
+
+        # most-likely pose persistence (:3178-3203)
+        m = cfg.min_cont_stable_poses
+        if len(self.most_likely_idxs) >= m:
+            last_idx = self.most_likely_idxs[-1]
+            same = all(i == last_idx for i in self.most_likely_idxs[-m:])
+            self.most_likely_pose_stable = (
+                same and self.pose_ratings[last_idx] > cfg.min_norm_dist_stable
+            )
+
+        ratio_far = float(poolops.far_point_ratio(self.pool))
+
+        if stable and ratio_far < 0.95:
+            self.pose_is_stable = True
+            self.nr_consec_stable += 1
+            if self.max_skip_pairs_new <= cfg.max_skip_pairs:
+                self._update_max_skip_pairs()
+            if self._stability_tries:
+                self._stability_tries -= 1
+            return
+
+        self.pose_is_stable = False
+        self._stability_tries += 1
+
+        # fallback: Sampson-error-range overlap over the last window
+        # (:3225-3285) once ranking failed repeatedly, the pool is full,
+        # and far points do not dominate
+        if (
+            self._stability_tries > cfg.min_cont_stable_poses
+            and self.max_pool_size_reached
+            and ratio_far < cfg.max_rat_3d_pts_far
+            and len(self.err_stat_history) >= cfg.min_cont_stable_poses
+        ):
+            window = self.err_stat_history[-cfg.min_cont_stable_poses:]
+            ranges = [(mu - 2.0 * sd, mu + 2.0 * sd) for mu, sd in window]
+            mean_error = float(np.mean([mu for mu, _ in window]))
+            min_left = min(r[0] for r in ranges)
+            min_right = min(r[1] for r in ranges)
+            max_left = max(r[0] for r in ranges)
+            max_right = max(r[1] for r in ranges)
+            if min_right <= min_left or max_left >= max_right:
+                self.nr_consec_stable = 0
+                return  # non-overlapping ranges
+            span_l = mean_error - min_left
+            span_r = max_right - mean_error
+            full = span_l + span_r
+            if full <= 0:
+                self.nr_consec_stable = 0
+                return
+            pct_l, pct_r = span_l / full, span_r / full
+            ok = True
+            for left, right in ranges:
+                right_ov = pct_r * (right - mean_error) / max(span_r, 1e-12)
+                left_ov = pct_l * (mean_error - left) / max(span_l, 1e-12)
+                if right_ov + left_ov < 0.8:
+                    ok = False
+                    break
+            if ok:
+                self.pose_is_stable = True
+                self.nr_consec_stable += 1
+            else:
+                self.nr_consec_stable = 0
+        else:
+            self.nr_consec_stable = 0
+
+        if self.pose_is_stable and self.max_skip_pairs_new <= cfg.max_skip_pairs:
+            self._update_max_skip_pairs()
 
     def _update_max_skip_pairs(self):
-        """updateMaxSkipPairs (stereo_pose_refinement.cpp:3300): with a
-        stable pose, more consecutive bad pairs may be skipped before a
-        full reinit; an unstable pose reverts to the configured base."""
-        if self.pose_is_stable:
-            self.max_skip_pairs_new = self.cfg.max_skip_pairs * 2
+        """updateMaxSkipPairs (stereo_pose_refinement.cpp:3300-3316):
+        raiseSkipCnt low nibble = extra 0.25x factors on maxSkipPairs, high
+        nibble + 1 = consecutive stable poses required before raising."""
+        cfg = self.cfg
+        factor = cfg.raise_skip_cnt & 0xF
+        need = ((cfg.raise_skip_cnt & 0xF0) >> 4) + 1
+        if factor and need <= self.nr_consec_stable:
+            self.max_skip_pairs_new = int(
+                np.ceil(cfg.max_skip_pairs * (1.0 + factor * 0.25))
+            )
         else:
-            self.max_skip_pairs_new = self.cfg.max_skip_pairs
+            self.max_skip_pairs_new = cfg.max_skip_pairs
 
     # -- main entry ---------------------------------------------------------
 
@@ -298,7 +577,6 @@ class StereoRefine:
     ) -> FrameResult:
         """Process one frame (addNewCorrespondences,
         stereo_pose_refinement.cpp:416-952)."""
-        cfg = self.cfg
         K = pts1.shape[0]
         pts1 = jnp.asarray(pts1, jnp.float32)
         pts2 = jnp.asarray(pts2, jnp.float32)
@@ -322,14 +600,17 @@ class StereoRefine:
             pts1, pts2, self.K1, self.K2, self.dist1, self.dist2
         )
         self.frame_idx += 1
+        n_matches = int(jnp.sum(mask))
 
         if self.nr_estimation == 0:
             result = self._robust_initialization(
-                pts1, pts2, x1, x2, mask, quality, desc_dist, response
+                pts1, pts2, x1, x2, mask, quality, desc_dist, response,
+                n_matches,
             )
         else:
             result = self._continuous_step(
-                pts1, pts2, x1, x2, mask, quality, desc_dist, response
+                pts1, pts2, x1, x2, mask, quality, desc_dist, response,
+                n_matches,
             )
 
         if self.skip_count > self.max_skip_pairs_new:
@@ -354,135 +635,238 @@ class StereoRefine:
         )
 
     def _robust_initialization(
-        self, pts1, pts2, x1, x2, mask, quality, desc_dist, response
+        self, pts1, pts2, x1, x2, mask, quality, desc_dist, response,
+        n_matches,
     ) -> FrameResult:
         """robustInitialization (stereo_pose_refinement.cpp:968)."""
-        E, R, t, inl, ratio, X, ok3d = _robust_pose(
-            x1, x2, mask, quality, self.th_sq, self.cfg, self._next_key()
-        )
+        E, R, t, inl, ratio = self._frame_pose(x1, x2, mask, quality, n_matches)
         ratio_f = float(ratio)
         if ratio_f < self.cfg.min_start_agg_inl_rat:
-            # not reliable enough to start aggregating (:1295 reject path)
+            # not reliable enough to start aggregating (:1015 reject path)
             return self._result("rejected", ratio_f)
         self._set_pose(E, R, t)
         self._seed_pool(pts1, pts2, x1, x2, inl, desc_dist, response)
         self.nr_estimation = 1
         self.skip_count = 0
         self._push_history(self.R, self.t, ratio_f)
-        self._check_pose_stability()
-        self._get_near_to_mean_pose()
+        self._record_err_stats(x1, x2, mask)
+        self._after_accept()
         return self._result("init", ratio_f)
 
+    def _record_err_stats(self, x1, x2, mask):
+        """errorStatistic_history entry for the newest pair (:845-858)."""
+        E = jnp.asarray(self.E, jnp.float32)
+        err = geo.sampson_error(E, x1, x2)
+        inl = (err < self.th_sq) & mask.astype(bool)
+        _, mean, std, _ = geo.masked_stats(
+            jnp.sqrt(jnp.maximum(err, 0.0)), inl
+        )
+        self.err_stat_history.append((float(mean), float(std)))
+
     def _continuous_step(
-        self, pts1, pts2, x1, x2, mask, quality, desc_dist, response
+        self, pts1, pts2, x1, x2, mask, quality, desc_dist, response,
+        n_matches,
     ) -> FrameResult:
         cfg = self.cfg
         E_cur = jnp.asarray(self.E, jnp.float32)
-        ratio_new, inl_new = _frame_inlier_ratio(
+        ratio_new, inl_new, err_new = _frame_inlier_ratio(
             E_cur, x1, x2, mask, self.th_sq
         )
         ratio_new = float(ratio_new)
-        hist = self._hist_ratio()
+        last_ratio = self.ratio_history[-1]
 
-        rel_drop = (hist - ratio_new) / max(hist, 1e-9)
-        if rel_drop > cfg.rel_inl_rat_th_last:
-            # significant drop -> robust re-estimation on the new frame (:492)
-            E, R, t, inl, ratio_rob, X, ok3d = _robust_pose(
-                x1, x2, mask, quality, self.th_sq, self.cfg, self._next_key()
+        add_to_pool = False
+        frame_inl = inl_new
+        frame_ratio = ratio_new
+
+        if ratio_new < (1.0 - cfg.rel_inl_rat_th_last) * last_ratio:
+            # significant drop -> robust re-estimation on the new frame (:489)
+            E, R, t, inl, ratio_rob = self._frame_pose(
+                x1, x2, mask, quality, n_matches
             )
             ratio_rob_f = float(ratio_rob)
-            rdiff, tang, _ = geo.compare_poses(
-                jnp.asarray(self.R, jnp.float32),
-                jnp.asarray(self.t, jnp.float32), R, t,
-            )
-            pose_changed = (
-                float(rdiff) > cfg.abs_thresh_diff
-                or float(tang) > np.degrees(cfg.max_rat_frame_to_frame)
-            )
-            if pose_changed and ratio_rob_f >= cfg.min_inlier_ratio_reinit:
-                # the rig moved: reinitialize on the new pose (:1025)
-                self.reset()
-                self.frame_idx += 1
-                self._set_pose(E, R, t)
-                self._seed_pool(pts1, pts2, x1, x2, inl, desc_dist, response)
-                self.nr_estimation = 1
-                self._push_history(self.R, self.t, ratio_rob_f)
-                return self._result("reinit", ratio_rob_f)
-            if (
-                ratio_rob_f < cfg.min_inlier_rat_skip
-                and ratio_rob_f < cfg.rel_min_inlier_rat_skip * max(hist, 1e-9)
-            ):
-                # bad pair: restore the old pose and skip (:511-521)
+            if ratio_new < ratio_rob_f * (1.0 - cfg.rel_inl_rat_th_new):
+                # either the pose changed or the pair is bad (:497)
+                if (
+                    ratio_rob_f >= cfg.min_inlier_ratio_reinit
+                    and ratio_new < cfg.min_inlier_ratio_reinit
+                ):
+                    # the rig moved: reinitialize on the new pose (:501-508)
+                    self.reset()
+                    self.frame_idx += 1
+                    self._set_pose(E, R, t)
+                    self._seed_pool(
+                        pts1, pts2, x1, x2, inl, desc_dist, response
+                    )
+                    self.nr_estimation = 1
+                    self._push_history(self.R, self.t, ratio_rob_f)
+                    self._record_err_stats(x1, x2, mask)
+                    self._log("The pose has changed! System is reinitialized!")
+                    return self._result("reinit", ratio_rob_f)
+                if (
+                    ratio_rob_f < cfg.min_inlier_rat_skip
+                    and ratio_rob_f
+                    < cfg.rel_min_inlier_rat_skip * last_ratio
+                ):
+                    # bad pair: restore the old pose and skip (:511-521)
+                    self.skip_count += 1
+                    self._log("Bad image pair: restoring last valid pose")
+                    return self._result("skipped", ratio_new)
+                # unsure: robust estimation on the pool, keep history,
+                # do not add the pair to the pool (:524-558); still counts
+                # as a skipped pair (:560)
+                self._log("Pose change or bad pair: robust estimation "
+                          "on the pool")
+                ok = self._robust_on_pool()
                 self.skip_count += 1
-                return self._result("skipped", ratio_new)
-            # unsure: robust estimation on the pool, keep history (:524-558)
-            E_p, R_p, t_p, ratio_p = self._robust_on_pool()
-            self._set_pose(E_p, R_p, t_p)
-            self._push_history(self.R, self.t, float(ratio_p))
-            self.skip_count = 0
-            self._after_accept()
-            return self._result("robust", float(ratio_p))
+                if not ok:
+                    self.reset()
+                    return self._result("reinit", ratio_rob_f)
+                self.pose_is_stable = False
+                self.most_likely_pose_stable = False
+                return self._result("robust", ratio_rob_f)
+            # similar pose after re-estimation: just a low-quality pair —
+            # restore the last pose and add the pair's old-E inliers (:563)
+            add_to_pool = True
+            frame_inl = inl_new
+            frame_ratio = ratio_new
+        else:
+            add_to_pool = True  # (:585-592)
 
-        # normal path: add to pool + refine (:594)
-        self.skip_count = 0
-        err_new = geo.sampson_error(E_cur, x1, x2)
+        if not add_to_pool:  # pragma: no cover — all paths above return
+            return self._result("skipped", ratio_new)
+
+        # --- pool insertion + refinement (:594-860) ---
+        E_old, R_old, t_old = self.E.copy(), self.R.copy(), self.t.copy()
         w_new = poolops.correspondence_weight(
             err_new, desc_dist, response, self.th_sq
         )
-        keep_new = inl_new  # only pose-consistent correspondences enter
-        new_valid, pool_valid = poolops.filter_new_vs_pool(
-            self.pool, pts1, w_new, keep_new, cfg.min_pts_distance
+        new_valid, pool_valid, n_found = poolops.filter_new_vs_pool(
+            self.pool, pts1, pts2, w_new, frame_inl, cfg.min_pts_distance
         )
-        self.pool = self.pool._replace(valid=pool_valid)
+        self.pool = self.pool._replace(valid=pool_valid, n_found=n_found)
         self.pool = poolops.insert_and_evict(
             self.pool, pts1, pts2, x1, x2, desc_dist, response, err_new,
             jnp.where(new_valid, w_new, 0.0), new_valid,
-            jnp.asarray(self.frame_idx, jnp.int32),
         )
+        pool_size = int(self.pool.n_valid)
+        if pool_size >= self.cfg.max_pool_correspondences:
+            self.max_pool_size_reached = True
 
-        self._frames_since_pool_robust += 1
-        if self._frames_since_pool_robust >= self._pool_robust_interval:
-            # periodic robust estimation on the pool with exponential
-            # backoff (:680-716, :703-713)
-            E_p, R_p, t_p, ratio_p = self._robust_on_pool()
-            self._frames_since_pool_robust = 0
-            self._pool_robust_interval = min(
-                self._pool_robust_interval * 2, 64
+        # robust-vs-refine schedule on the pool (:680-716)
+        init_inl = max(self._init_number_inliers, 1)
+        run_robust = (
+            cfg.check_pool_pose_robust == 1
+            or self._nr_since_robust > self._check_pool_robust_tmp
+            or (
+                not self.max_pool_size_reached
+                and self._check_pool_robust_tmp * init_inl < pool_size
             )
+        )
+        min_rel_remaining = 0.75
+        if run_robust:
+            ok = self._robust_on_pool()
+            if not ok:
+                self._set_pose(E_old, R_old, t_old)
+                self.reset()
+                return self._result("reinit", frame_ratio)
+            if cfg.check_pool_pose_robust > 1:
+                # exponential backoff of the robust cadence (:703-713)
+                if self.max_pool_size_reached:
+                    self._check_pool_robust_tmp = max(
+                        cfg.check_pool_pose_robust, 10
+                    )
+                elif self._check_pool_robust_tmp > 50:
+                    self._check_pool_robust_tmp = (
+                        cfg.max_pool_correspondences // init_inl + 2
+                    )
+                else:
+                    self._check_pool_robust_tmp = int(
+                        round(
+                            cfg.check_pool_pose_robust
+                            + np.exp(0.8 + self._check_pool_robust_tmp / 6.0)
+                        )
+                    )
+            self._nr_since_robust = 0
+            min_rel_remaining = 0.7
             state = "robust"
         else:
+            if self.max_pool_size_reached:
+                self._nr_since_robust += 1
+            else:
+                self._nr_since_robust = 0
             E_p, R_p, t_p, ratio_p = _refine_pool_pose(
-                E_cur, self.pool, self.th_sq, self.cfg
+                E_cur, self.pool, self.th_sq,
+                cfg.refine_pool, cfg.ba_pool, cfg.kneip_instead_ba_pool,
+                self.max_dist_z,
             )
+            if not np.all(np.isfinite(np.asarray(E_p))):
+                # refinement failed: keep the old pose; a second consecutive
+                # failure clears the whole system (:725-815)
+                self._set_pose(E_old, R_old, t_old)
+                self.skip_count += 1
+                if self._failed_refinements > 0:
+                    self._failed_refinements = 0
+                    self.reset()
+                    return self._result("reinit", frame_ratio)
+                self._failed_refinements += 1
+                return self._result("skipped", frame_ratio)
+            self._failed_refinements = 0
+            self._set_pose(E_p, R_p, t_p)
             state = "refined"
-        ratio_p_f = float(ratio_p)
 
-        # guard (:821-830): fewer than 75% of the pool support the refined
-        # pose -> the aggregated state is inconsistent, reinitialize
-        if ratio_p_f < 0.75:
-            self.reset()
-            return self._result("reinit", ratio_p_f)
-        self._set_pose(E_p, R_p, t_p)
-        self.nr_estimation += 1
-        self._push_history(self.R, self.t, max(ratio_new, ratio_p_f))
-        self._after_accept()
-        return self._result(state, ratio_p_f)
-
-    def _robust_on_pool(self):
-        """robustEstimationOnPool (stereo_pose_refinement.cpp:1075)."""
-        maskf = self.pool.valid.astype(jnp.float32)
-        E, R, t, inl, ratio, X, ok3d = _robust_pose(
-            self.pool.x1, self.pool.x2, maskf, self.pool.weight,
-            self.th_sq, self.cfg, self._next_key(),
+        # guard (:821-830): too few pool inliers after refinement -> the
+        # aggregated state is inconsistent, restore + reinitialize
+        E_ref = jnp.asarray(self.E, jnp.float32)
+        n_pool_inl, n_pool, _ = poolops.pool_inlier_stats(
+            self.pool, E_ref, self.th_sq
         )
-        return E, R, t, ratio
+        if float(n_pool_inl) < min_rel_remaining * max(float(n_pool), 1.0):
+            self._set_pose(E_old, R_old, t_old)
+            self.reset()
+            return self._result("reinit", frame_ratio)
+
+        # guard (:833-845): the refined pose must still explain the new pair
+        ratio_ref, _, _ = _frame_inlier_ratio(
+            E_ref, x1, x2, mask, self.th_sq
+        )
+        ratio_ref = float(ratio_ref)
+        if ratio_ref < frame_ratio * (1.0 - cfg.rel_inl_rat_th_new):
+            self._set_pose(E_old, R_old, t_old)
+            self.reset()
+            return self._result("reinit", frame_ratio)
+
+        self._push_history(self.R, self.t, ratio_ref)
+        self._record_err_stats(x1, x2, mask)
+        self.nr_estimation += 1
+        self.skip_count = 0
+        self._after_accept()
+        return self._result(state, ratio_ref)
+
+    def _robust_on_pool(self) -> bool:
+        """robustEstimationOnPool (stereo_pose_refinement.cpp:1075): robust
+        engine over the pool with the pool-path refine/BA configs."""
+        maskf = self.pool.valid.astype(jnp.float32)
+        E, R, t, inl, ratio = _pose_from_set(
+            self.pool.x1, self.pool.x2, maskf, self.pool.weight,
+            self.th_sq, self.cfg.pose.robust,
+            self.cfg.refine_pool, self.cfg.ba_pool,
+            self.cfg.kneip_instead_ba_pool, self.max_dist_z,
+            self._next_key(),
+        )
+        if not np.all(np.isfinite(np.asarray(E))) or float(ratio) <= 0.0:
+            return False
+        self._set_pose(E, R, t)
+        return True
 
     def _after_accept(self):
-        """Post-acceptance housekeeping: pool error/weight update, outlier
-        eviction, stability + most-likely pose (:861-940)."""
+        """Post-acceptance housekeeping: pool Sampson-history/3D update,
+        outlier eviction, stability + most-likely pose (:861-940)."""
         E = jnp.asarray(self.E, jnp.float32)
-        self.pool = poolops.update_pool_errors(self.pool, E, self.th_sq)
+        R = jnp.asarray(self.R, jnp.float32)
+        t = jnp.asarray(self.t, jnp.float32)
         self.pool = poolops.evict_outliers(self.pool, E, 4.0 * self.th_sq)
+        self.pool = poolops.update_pool_state(
+            self.pool, E, R, t, self.th_sq, self.max_dist_z
+        )
         self._check_pose_stability()
-        self._get_near_to_mean_pose()
-        self._update_max_skip_pairs()
