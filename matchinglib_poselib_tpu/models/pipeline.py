@@ -245,9 +245,19 @@ def estimate_pose(
             degen.is_degenerate if degen is not None else jnp.asarray(False)
         )
     else:
+        # SPRT-init parity (pose_estim.cpp:1814-1940): the match-quality
+        # distribution provides an inlier-ratio prior that bounds the
+        # hypothesis budget (quality = 1 - distance ratio, so quality > 0.4
+        # is the reference's decisive ratio < 0.6 band)
+        n_val = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+        prior = jnp.clip(
+            jnp.sum(((quality > 0.4) & mask.astype(bool)).astype(jnp.float32))
+            / n_val,
+            0.05, 0.95,
+        )
         res, degen = robust.estimate_essential_robust(
             x1, x2, mask.astype(jnp.float32), quality, cfg.robust, key,
-            threshold_sq=th_sq,
+            threshold_sq=th_sq, prior_inlier_ratio=prior,
         )
         E = res.model
         inl = res.inlier_mask
@@ -342,4 +352,25 @@ class StereoPipeline:
                 K1, K2, dist1, dist2, self.pose_cfg, key,
             )
             h["outputs"] = pose
+        return corr, pose
+
+    def run_batch(self, imgs1, imgs2, K1, K2, dist1, dist2, key) -> tuple:
+        """Batched pairs: imgs1/imgs2 (B, H, W), shared calibration.
+
+        vmaps the full detect->describe->match->pose program over the pair
+        axis — the data-parallel unit that `parallel.mesh` shards over the
+        'pairs' axis on a TPU pod. One compiled program serves any stream
+        of same-shaped batches.
+        """
+        corr = jax.vmap(
+            lambda a, b: get_correspondences(
+                a, b, self.det_cfg, self.desc_cfg, self.match_cfg
+            )
+        )(imgs1, imgs2)
+        keys = jax.random.split(key, imgs1.shape[0])
+        pose = jax.vmap(
+            lambda p1, p2, m, q, k: estimate_pose(
+                p1, p2, m, q, K1, K2, dist1, dist2, self.pose_cfg, k
+            )
+        )(corr.pts1, corr.pts2, corr.mask, corr.quality, keys)
         return corr, pose

@@ -97,9 +97,40 @@ def _use_pallas_auto() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _ratio_fallback_keep(keep, keep_no_ratio, d_best, d_second):
+    """Best-ratio fallback for low-texture frames.
+
+    Reference (ratioMatches_Flann.cpp:91-110): when fewer than 30 matches
+    survive the ratio test, discard it and keep the matches with the best
+    distance ratios instead — half of them when 60 < n < 120, at most 60
+    when n > 120, and never a match whose ratio exceeds 0.85. Fixed-shape
+    masked selection: rank candidates by ratio and keep the best `target`.
+    """
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    # d_second == 0 (exact duplicate) is the degenerate fully-ambiguous
+    # case the strict Lowe inequality rejects — exclude it here too
+    ratios = jnp.where(
+        keep_no_ratio & (d_second > 1e-12),
+        d_best / jnp.maximum(d_second, 1e-12),
+        jnp.inf,
+    )
+    n_base = jnp.sum(keep_no_ratio.astype(jnp.int32))
+    target = jnp.where(
+        n_base > 120, 60, jnp.where(n_base > 60, n_base // 2, n_base)
+    )
+    target = jnp.minimum(
+        target, jnp.sum((ratios <= 0.85).astype(jnp.int32))
+    )
+    rank = jnp.argsort(jnp.argsort(ratios))
+    keep_fb = keep_no_ratio & (rank < target)
+    return jnp.where(n_kept < 30, keep_fb, keep)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("binary", "ratio_test", "cross_check", "use_pallas"),
+    static_argnames=(
+        "binary", "ratio_test", "cross_check", "use_pallas", "ratio_fallback"
+    ),
 )
 def match_descriptors(
     desc1: jax.Array,
@@ -116,8 +147,15 @@ def match_descriptors(
     guide_rad: jax.Array | None = None,
     pts2_xy: jax.Array | None = None,
     use_pallas: bool | None = None,
+    ratio_fallback: bool = True,
 ) -> MatchResult:
     """Exact 2-NN matching with ratio test and mutual cross-check.
+
+    ``ratio_fallback``: when <30 matches survive the ratio test, keep the
+    best-ratio 50% (at most 60, ratio <= 0.85) instead — the reference's
+    low-texture fallback (ratioMatches_Flann.cpp:91-110). Here it selects
+    among candidates that already passed the cross-check/max-distance
+    gates (the reference's FLANN path has neither).
 
     desc1: (N1, W|D), desc2: (N2, W|D); valid1/valid2 mask padded slots.
 
@@ -158,8 +196,6 @@ def match_descriptors(
         idx = jnp.maximum(idx, 0)
         v1 = valid1.astype(bool)
         keep = v1 & (d_best < _BIG * 0.5)
-        if ratio_test:
-            keep = keep & (d_best < ratio * d_second)
         if max_distance is not None:
             keep = keep & (d_best <= max_distance)
         if cross_check:
@@ -170,6 +206,13 @@ def match_descriptors(
                 interpret=interpret,
             )
             keep = keep & (back[idx] == jnp.arange(desc1.shape[0]))
+        if ratio_test:
+            keep_no_ratio = keep
+            keep = keep & (d_best < ratio * d_second)
+            if ratio_fallback:
+                keep = _ratio_fallback_keep(
+                    keep, keep_no_ratio, d_best, d_second
+                )
         return MatchResult(
             idx=idx.astype(jnp.int32),
             distance=d_best,
@@ -197,15 +240,18 @@ def match_descriptors(
     d_best, d_second, idx = _top2(dist)
     keep = v1 & (d_best < _BIG * 0.5)
 
-    if ratio_test:
-        # strict Lowe inequality: rejects the degenerate d1 == d2 == 0 case
-        keep = keep & (d_best < ratio * d_second)
     if max_distance is not None:
         keep = keep & (d_best <= max_distance)
     if cross_check:
         # mutual best: argmin over rows for each column
         col_best = jnp.argmin(dist, axis=0)  # (N2,)
         keep = keep & (col_best[idx] == jnp.arange(dist.shape[0]))
+    if ratio_test:
+        keep_no_ratio = keep
+        # strict Lowe inequality: rejects the degenerate d1 == d2 == 0 case
+        keep = keep & (d_best < ratio * d_second)
+        if ratio_fallback:
+            keep = _ratio_fallback_keep(keep, keep_no_ratio, d_best, d_second)
     return MatchResult(
         idx=idx.astype(jnp.int32),
         distance=d_best,

@@ -254,6 +254,7 @@ def ransac(
     cfg: RobustConfig,
     key: jax.Array,
     threshold_sq: jax.Array | float | None = None,
+    prior_inlier_ratio: jax.Array | float | None = None,
 ) -> RobustResult:
     """Batched robust estimation of one model on one correspondence set.
 
@@ -261,6 +262,14 @@ def ransac(
     quality: (N,) higher = better match (PROSAC ordering; None = no PROSAC).
     ``threshold_sq`` overrides cfg.threshold_px (already in normalized^2
     units — callers divide pixel thresholds by the focal length).
+
+    ``prior_inlier_ratio``: batched analogue of the reference's SPRT
+    epsilon initialization from match statistics (pose_estim.cpp:1814-1940,
+    pose_helper.cpp:2879): the prior bounds the hypothesis budget — the
+    while_loop may stop once the hypotheses implied by the prior have been
+    drawn AND the best model's support is consistent with it (>= half the
+    prior), so easy frames exit after one batch without risking a
+    premature stop on an optimistic prior.
 
     vmap over leading batch dims by wrapping with jax.vmap externally.
     """
@@ -329,6 +338,20 @@ def ransac(
         )
         log_pmiss = n_hyp * jnp.log1p(-jnp.clip(w**k, 1e-12, 1.0 - 1e-7))
         done = log_pmiss < jnp.log(1.0 - cfg.confidence)
+        if prior_inlier_ratio is not None:
+            # SPRT-init parity: the match-statistics prior sizes the budget
+            eps = jnp.clip(jnp.asarray(prior_inlier_ratio, jnp.float32),
+                           0.0, 0.95)
+            hyp_needed = jnp.log(1.0 - cfg.confidence) / jnp.log1p(
+                -jnp.clip(eps**k, 1e-12, 1.0 - 1e-7)
+            )
+            prior_ok = (
+                (n_hyp >= hyp_needed)
+                & (best_count.astype(jnp.float32)
+                   >= 0.5 * eps * n_valid.astype(jnp.float32))
+                & (best_count > k)
+            )
+            done = done | prior_ok
         if lmeds:
             done = jnp.asarray(False)
         return (i + 1, best_score, best_count, best_model, th_sq, done)
@@ -547,6 +570,7 @@ def estimate_essential_robust(
     cfg: RobustConfig,
     key: jax.Array,
     threshold_sq: jax.Array | float | None = None,
+    prior_inlier_ratio: jax.Array | float | None = None,
 ):
     """Full robust E estimation: RANSAC/PROSAC batches + LO refinement.
 
@@ -558,7 +582,8 @@ def estimate_essential_robust(
         family = essential_8pt_family()
     else:
         family = essential_family(cfg.solver)
-    res = ransac(family, x1, x2, mask, quality, cfg, key, threshold_sq)
+    res = ransac(family, x1, x2, mask, quality, cfg, key, threshold_sq,
+                 prior_inlier_ratio=prior_inlier_ratio)
     if cfg.lo_refine:
         res = lo_refine_essential(res, x1, x2, mask, cfg.lo_inner_iterations)
         res = res._replace(model=geo.closest_essential(res.model))

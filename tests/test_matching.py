@@ -176,3 +176,49 @@ def test_matcher_registry():
     assert matching.is_matcher_supported("GMBSOF")
     assert matching.is_matcher_supported("hnsw")
     assert not matching.is_matcher_supported("NOPE")
+
+
+def test_ratio_fallback_low_texture(rng):
+    """ratioMatches_Flann.cpp:91-110: <30 ratio-test survivors -> keep the
+    best-ratio half (<=60, ratio <= 0.85). A low-texture frame with nearly
+    ambiguous descriptors must go from ~0 matches to a usable set."""
+    from matchinglib_poselib_tpu.ops import matching
+
+    n = 100
+    base = rng.normal(size=(n, 128)).astype(np.float32)
+    # ambiguous gallery: every descriptor has a near-duplicate, pushing the
+    # distance ratio into the (0.75, 0.85] band the strict test rejects
+    d2 = np.concatenate([base, base + rng.normal(scale=0.15, size=base.shape)
+                         .astype(np.float32)])
+    d1 = base + rng.normal(scale=0.30, size=base.shape).astype(np.float32)
+    v1 = jnp.ones(n, bool)
+    v2 = jnp.ones(2 * n, bool)
+
+    strict = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), v1, v2,
+        binary=False, cross_check=False, ratio_fallback=False,
+    )
+    fb = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), v1, v2,
+        binary=False, cross_check=False, ratio_fallback=True,
+    )
+    n_strict = int(jnp.sum(strict.mask))
+    n_fb = int(jnp.sum(fb.mask))
+    assert n_strict < 30  # the scenario really is low-texture
+    assert n_fb > n_strict
+    assert n_fb <= 60
+    # fallback keeps only correct matches here (nearest is the true one)
+    idx = np.asarray(fb.idx)[np.asarray(fb.mask)]
+    assert (idx == np.arange(n)[np.asarray(fb.mask)]).mean() > 0.9
+    # and with plenty of unambiguous matches the fallback changes nothing
+    d2u = np.concatenate([base, rng.normal(size=base.shape).astype(np.float32)])
+    a = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2u), v1, v2,
+        binary=False, cross_check=False, ratio_fallback=False,
+    )
+    b = matching.match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2u), v1, v2,
+        binary=False, cross_check=False, ratio_fallback=True,
+    )
+    assert int(jnp.sum(a.mask)) >= 30
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))

@@ -160,3 +160,31 @@ def test_pose_with_ba_refinement(stereo_pair, calib):
     # BA (with restore guards) may keep the input pose but must stay accurate
     assert float(r1) < max(1.0, 1.5 * float(r0))
     assert float(t1) < 5.0
+
+
+def test_run_batch_matches_single(stereo_pair, calib):
+    """StereoPipeline.run_batch vmaps the full program over a pair axis and
+    must agree with per-pair runs (the data-parallel unit of the pod mesh)."""
+    img1, img2 = stereo_pair
+    imgs1 = jnp.stack([img1, img1])
+    imgs2 = jnp.stack([img2, img2])
+    pipe = pipeline.StereoPipeline(
+        DetectorConfig(kind="FAST", max_keypoints=1024, fast_threshold=12.0),
+        DescriptorConfig(kind="ORB"),
+        MatchingConfig(matcher_name="GMBSOF"),
+        PoseConfig(robust=RobustConfig(batch_hypotheses=128, max_batches=4)),
+    )
+    K1 = jnp.asarray(calib.K0, jnp.float32)
+    K2 = jnp.asarray(calib.K1, jnp.float32)
+    d1 = jnp.asarray(calib.dist0, jnp.float32)
+    d2 = jnp.asarray(calib.dist1, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    corr, pose = pipe.run_batch(imgs1, imgs2, K1, K2, d1, d2, key)
+    assert corr.pts1.shape[0] == 2 and pose.R.shape == (2, 3, 3)
+    assert int(pose.n_inliers[0]) > 100
+    # identical inputs + per-pair keys from the same split -> same count order
+    rdiff, tang, _ = geo.compare_poses(
+        jnp.asarray(calib.R, jnp.float32), jnp.asarray(calib.t, jnp.float32),
+        pose.R[0], pose.t[0],
+    )
+    assert float(rdiff) < 1.0 and float(tang) < 5.0
