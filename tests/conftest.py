@@ -28,6 +28,46 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# One fast representative test per module; `pytest -m smoke` must finish
+# in <90 s so rounds can iterate (full suite stays the CI tier).
+_SMOKE = {
+    "test_autoth.py::test_autoth_tightens_loose_threshold",
+    "test_ba.py::test_recovers_perturbed_pose",
+    "test_checkpoint_profiling.py::test_stage_timer_taxonomy",
+    "test_descriptors_ext.py::test_ring_descriptor_discriminates",
+    "test_features.py::test_fast_detects_square_corners",
+    "test_geometry.py::test_skew_and_essential",
+    "test_homography_pose.py::test_decompose_recovers_pose",
+    "test_matching.py::test_hamming_matrix_exact",
+    "test_native_loader.py::test_pnm_roundtrip",
+    "test_optflow.py::test_lk_recovers_large_shift",
+    "test_pallas_knn.py::test_knn2_matches_xla_path",
+    "test_parallel.py::test_mesh_axes",
+    "test_rectify.py::test_rectifying_rotations_are_rotations",
+    "test_refine.py::test_refine_improves_noisy_model",
+    "test_robust.py::test_masked_padding",
+    "test_scale_space.py::test_blob_detectors_find_blobs",
+    "test_solvers.py::test_8pt",
+    "test_stereo_refine.py::test_init_then_refine_improves",
+    "test_subpix.py::test_recovers_known_subpixel_shift",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        # strip parametrization for membership so a "[param]" id still matches
+        base = rel.split("[")[0]
+        if base in _SMOKE:
+            # nonlinear-diffusion params dominate the smoke budget; keep the
+            # cheap scale-space params only
+            if "test_blob_detectors" in base and (
+                "KAZE" in rel or "AKAZE" in rel
+            ):
+                continue
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
