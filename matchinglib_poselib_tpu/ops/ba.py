@@ -149,7 +149,7 @@ def _robust_cost(r2, delta2, robust: bool):
     jax.jit,
     static_argnames=(
         "iterations", "robust", "refine_intrinsics", "refine_structure",
-        "refine_motion", "axis_name",
+        "refine_motion", "axis_name", "intrinsics_cols",
     ),
 )
 def bundle_adjust(
@@ -168,6 +168,7 @@ def bundle_adjust(
     refine_structure: bool = True,
     refine_motion: bool = True,
     axis_name: str | None = None,
+    intrinsics_cols: tuple[int, ...] | None = None,
 ) -> BAResult:
     """Masked dense-block sparse-BA (Schur-eliminated LM).
 
@@ -181,6 +182,12 @@ def bundle_adjust(
     blocks, Schur sums, gradients, cost) is completed with a `lax.psum` over
     that axis — the distributed windowed-BA design of SURVEY.md §5.7: each
     device owns a point block, the reduced camera system rides ICI.
+
+    ``intrinsics_cols``: when ``refine_intrinsics``, restricts which of the
+    10 intrinsic/distortion parameter columns (global indices 6..15 in the
+    camera block) are free; None frees all of them. This carries the
+    reference's optimInternals selectivity (pose_estim.cpp:1599-1617:
+    2 = all intrinsics, 4 = focal only, 5 = distortion only).
     """
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -195,8 +202,28 @@ def bundle_adjust(
     cam_free = free_cams.astype(dtype)[:, None]  # (C, 1)
     if not refine_motion:
         cam_free = cam_free * 0.0
-    col_free = jnp.ones((D,), dtype)
-    param_free = cam_free * col_free[None, :]  # (C, D)
+    # pose columns follow free_cams (gauge fixing); intrinsic/distortion
+    # columns are free on EVERY camera — the reference refines internals of
+    # all cameras, only extrinsics are gauge-fixed (pose_estim.cpp:1585-1623)
+    param_free = cam_free * jnp.ones((D,), dtype)[None, :]  # (C, D)
+    if refine_intrinsics:
+        if intrinsics_cols is None:
+            intr = jnp.ones((DOF_FULL - DOF_POSE,), dtype)
+        else:
+            intr = jnp.asarray(
+                [
+                    1.0 if i in intrinsics_cols else 0.0
+                    for i in range(DOF_POSE, DOF_FULL)
+                ],
+                dtype,
+            )
+        param_free = jnp.concatenate(
+            [
+                param_free[:, :DOF_POSE],
+                jnp.broadcast_to(intr[None, :], (C, DOF_FULL - DOF_POSE)),
+            ],
+            axis=1,
+        )
 
     def residuals_at(Rc, tc, Kc, distc, Xc):
         """(P, C, 2) residual tensor at the current state."""
@@ -255,9 +282,16 @@ def bundle_adjust(
         g_x = -jnp.einsum("pcri,pc,pcr->pi", Jx, w, r)  # (P, 3)
 
         def try_lambda(lam):
-            # damping (LM): augment diagonals
-            Ud = U + lam * jnp.eye(D, dtype=dtype)[None]
-            Vd = V + lam * jnp.eye(3, dtype=dtype)[None]
+            # Marquardt-scaled damping: lam * diag(max(diag(U), 1)) keeps the
+            # step scale-invariant across mixed-magnitude parameters (focal
+            # ~1e2, distortion ~1e-1, rotation ~1e0); the floor of 1 keeps
+            # zeroed (fixed) columns positive definite
+            Ud = U + lam * jax.vmap(jnp.diag)(
+                jnp.maximum(jnp.diagonal(U, axis1=1, axis2=2), 1.0)
+            )
+            Vd = V + lam * jax.vmap(jnp.diag)(
+                jnp.maximum(jnp.diagonal(V, axis1=1, axis2=2), 1.0)
+            )
             Vinv = jnp.linalg.inv(Vd)  # (P, 3, 3) batched tiny inverse
 
             # Schur complement: S = blockdiag(Ud) - sum_p Wp Vinv Wp^T
@@ -404,8 +438,20 @@ def refine_stereo_ba(
     )
 
 
+# map of the reference's optimInternals codes (pose_estim.cpp:1599-1617)
+# onto free intrinsic/distortion columns of the camera parameter block
+_INTRINSICS_MODES: dict[str, tuple[int, ...] | None] = {
+    "none": None,
+    "all": tuple(range(6, 16)),  # optimInternals = 2 (+ dists when given)
+    "focal": (6, 7),  # optimInternals = 4 (optimFocalOnly)
+    "dist": tuple(range(11, 16)),  # optimInternals = 5 (fixCamMat + dists)
+}
+
+
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "robust", "refine_intrinsics")
+    jax.jit,
+    static_argnames=("iterations", "robust", "refine_intrinsics",
+                     "intrinsics_mode", "motion_only"),
 )
 def refine_multi_cam_ba(
     obs: jax.Array,  # (P, C, 2)
@@ -419,25 +465,90 @@ def refine_multi_cam_ba(
     refine_intrinsics: bool = False,
     angle_thresh_deg: float = 1.25,
     t_norm_thresh: float = 0.05,
+    dist: jax.Array | None = None,  # (C, 5) per-camera [k1 k2 p1 p2 k3]
+    intrinsics_mode: str = "all",
+    motion_only: bool = False,
+    huber_delta: float = 1.0,
 ):
-    """Multi-camera windowed BA, cam0 fixed (pose_estim.cpp:1384
-    refineMultCamBA). Per-camera restore guards mirror the stereo variant."""
+    """Multi-camera windowed BA, cam0 fixed (pose_estim.cpp:1384-1735
+    refineMultCamBA).
+
+    Reference parity:
+
+    - per-camera distortion is refined together with the intrinsics when
+      ``dist`` is given (perform_sba dist_vec path, pose_estim.cpp:1605-1618);
+      ``intrinsics_mode`` selects the optimInternals subset: "all" (=2),
+      "focal" (=4, optimFocalOnly), "dist" (=5, fixCamMat with dists),
+      "none".
+    - ``motion_only`` maps BA_MOT (optimMotionOnly, :1505-1508): structure
+      is held fixed and NOT written back (:1719-1722).
+    - restore is all-or-nothing: if ANY camera moves more than the guards
+      allow, every camera / K / dist / point is restored and the function
+      reports failure (:1654-1716) — unlike the stereo variant there is no
+      per-camera salvage.
+    - when focal lengths were refined, the guards are relaxed by the
+      relative focal change: tf = min(1.5 * min(f_rel, 2), 2) scales the
+      t-norm threshold and rf = max(1, 0.9 * min(f_rel, 2)) the angular one
+      (:1679-1687).
+    - translation difference is measured between *normalized* old/new
+      translations (:1657-1677), not as a norm ratio.
+
+    Returns (BAResult with restored-or-refined parameters, restored flag
+    (C,) — all-True or all-False except cam0 which is always False).
+    """
     C = R.shape[0]
     dtype = obs.dtype
-    dists = jnp.zeros((C, 5), dtype)
-    free = jnp.ones((C,), dtype).at[0].set(0.0)
+    have_dist = dist is not None
+    if dist is None:
+        dist = jnp.zeros((C, 5), dtype)
+    mode = intrinsics_mode if refine_intrinsics else "none"
+    if mode != "none" and not have_dist and mode != "focal":
+        # without distortion inputs only K params may move (reference only
+        # refines dist when dists are provided)
+        cols: tuple[int, ...] | None = tuple(range(6, 11))
+    else:
+        cols = _INTRINSICS_MODES[mode]
     res = bundle_adjust(
-        obs, vis, R, t, K, dists, X, free,
-        iterations=iterations, robust=robust,
-        refine_intrinsics=refine_intrinsics,
+        obs, vis, R, t, K, dist, X,
+        jnp.ones((C,), dtype).at[0].set(0.0),
+        iterations=iterations, robust=robust, huber_delta=huber_delta,
+        refine_intrinsics=mode != "none",
+        refine_structure=not motion_only,
+        intrinsics_cols=cols,
     )
-    rdiff, _, _ = geo.compare_poses(R, t, res.R, res.t)
-    dt = jnp.abs(
-        jnp.linalg.norm(res.t, axis=-1) - jnp.linalg.norm(t, axis=-1)
-    ) / jnp.maximum(jnp.linalg.norm(t, axis=-1), 1e-9)
+
+    rdiff, _, _ = geo.compare_poses(R, t, res.R, res.t)  # (C,) degrees
+    t_old_n = t / jnp.maximum(
+        jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12
+    )
+    t_new_n = res.t / jnp.maximum(
+        jnp.linalg.norm(res.t, axis=-1, keepdims=True), 1e-12
+    )
+    t_diff = jnp.linalg.norm(t_new_n - t_old_n, axis=-1)
+
+    if mode in ("all", "focal"):
+        f_rel = jnp.maximum(res.K[:, 0, 0], K[:, 0, 0]) / jnp.maximum(
+            jnp.minimum(res.K[:, 0, 0], K[:, 0, 0]), 1e-9
+        )
+        tf = jnp.minimum(1.5 * jnp.minimum(f_rel, 2.0), 2.0)
+        rf = jnp.maximum(1.0, 0.9 * jnp.minimum(f_rel, 2.0))
+    else:
+        tf = rf = jnp.ones((C,), dtype)
+
     worse = res.final_cost >= res.initial_cost
-    restore = (rdiff > angle_thresh_deg) | (dt > t_norm_thresh) | worse
-    restore = restore.at[0].set(False)
-    R_out = jnp.where(restore[:, None, None], R, res.R)
-    t_out = jnp.where(restore[:, None], t, res.t)
-    return res._replace(R=R_out, t=t_out), restore
+    per_cam_bad = (jnp.abs(rdiff) > rf * angle_thresh_deg) | (
+        t_diff > tf * t_norm_thresh
+    )
+    per_cam_bad = per_cam_bad.at[0].set(False)
+    failed = jnp.any(per_cam_bad) | worse
+
+    R_out = jnp.where(failed, R, res.R)
+    t_out = jnp.where(failed, t, res.t)
+    K_out = jnp.where(failed, K, res.K)
+    d_out = jnp.where(failed, dist, res.dist)
+    X_out = jnp.where(failed | motion_only, X, res.points)
+    restore = jnp.broadcast_to(failed, (C,)).at[0].set(False)
+    return (
+        res._replace(R=R_out, t=t_out, K=K_out, dist=d_out, points=X_out),
+        restore,
+    )

@@ -199,6 +199,132 @@ class TestMultiCamBA:
             assert float(rdiff) < float(rdiff0)
             assert float(rdiff) < 0.3
 
+    def _rig_scene(self, rng, n=400, n_cams=4, dist_k1=-0.15, noise_px=0.1):
+        """n_cams-camera rig observing a cloud through distorted lenses."""
+        X = np.stack(
+            [
+                rng.uniform(-2, 2, n),
+                rng.uniform(-1.5, 1.5, n),
+                rng.uniform(5, 12, n),
+            ],
+            axis=1,
+        )
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        dist_gt = np.zeros((n_cams, 5))
+        dist_gt[:, 0] = dist_k1  # per-cam radial k1
+        dist_gt[:, 1] = 0.03
+        Rs, ts = [np.eye(3)], [np.zeros(3)]
+        for i in range(n_cams - 1):
+            Ri, ti = random_pose(rng, max_angle_deg=10.0)
+            Rs.append(Ri)
+            ts.append(ti * 0.5)
+        Rs, ts = np.stack(Rs), np.stack(ts)
+
+        obs = np.zeros((n, n_cams, 2))
+        for c in range(n_cams):
+            Xc = X @ Rs[c].T + ts[c]
+            xn = Xc[:, :2] / Xc[:, 2:3]
+            r2 = np.sum(xn * xn, axis=1, keepdims=True)
+            k1, k2 = dist_gt[c, 0], dist_gt[c, 1]
+            xd = xn * (1.0 + k1 * r2 + k2 * r2 * r2)
+            obs[:, c] = xd @ K[:2, :2].T + K[:2, 2]
+        obs += rng.normal(scale=noise_px, size=obs.shape)
+        return X, K, dist_gt, Rs, ts, obs
+
+    def test_distortion_refinement_four_cams(self, rng):
+        """BART=2 semantics: nonzero distortion + intrinsics recovered.
+
+        Reference: refineMultCamBA with dists (pose_estim.cpp:1605-1618,
+        optimInternals=2) refines K and the 5 distortion params per camera.
+        """
+        n = 400
+        X, K, dist_gt, Rs, ts, obs = self._rig_scene(rng, n=n)
+
+        # start from zero distortion, perturbed focal + poses
+        K0 = np.stack([K] * 4)
+        K0[:, 0, 0] *= 1.04
+        K0[:, 1, 1] *= 1.04
+        R0 = Rs.copy()
+        for c in range(1, 4):
+            R0[c] = perturb_rotation(Rs[c], 0.4, [1, 0.3 * c, 0])
+        X0 = X + rng.normal(scale=0.01, size=X.shape)
+
+        res, restored = ba.refine_multi_cam_ba(
+            jnp.asarray(obs, jnp.float32),
+            jnp.ones((n, 4), jnp.float32),
+            jnp.asarray(R0, jnp.float32),
+            jnp.asarray(ts, jnp.float32),
+            jnp.asarray(K0, jnp.float32),
+            jnp.asarray(X0, jnp.float32),
+            iterations=40,
+            refine_intrinsics=True,
+            dist=jnp.zeros((4, 5), jnp.float32),
+            angle_thresh_deg=5.0,
+            t_norm_thresh=0.5,
+        )
+        assert not bool(np.any(np.asarray(restored)))
+        assert float(res.final_cost) < float(res.initial_cost)
+        d = np.asarray(res.dist)
+        # k1 recovered per camera within tolerance
+        np.testing.assert_allclose(d[:, 0], dist_gt[:, 0], atol=0.03)
+        # focal pulled back toward GT (started 4% high)
+        f_err0 = abs(K0[1, 0, 0] / K[0, 0] - 1.0)
+        f_err = np.abs(np.asarray(res.K)[:, 0, 0] / K[0, 0] - 1.0)
+        assert np.all(f_err < f_err0)
+
+    def test_restore_is_all_or_nothing(self, rng):
+        """If ANY camera trips the guard every camera restores
+        (pose_estim.cpp:1654-1716)."""
+        n = 120
+        X, K, dist_gt, Rs, ts, obs = self._rig_scene(
+            rng, n=n, dist_k1=0.0, noise_px=0.0
+        )
+        # corrupt cam3's observations so BA drags it far from its init
+        obs = obs.copy()
+        obs[:, 3, :] += rng.normal(scale=80.0, size=(n, 2))
+        res, restored = ba.refine_multi_cam_ba(
+            jnp.asarray(obs, jnp.float32),
+            jnp.ones((n, 4), jnp.float32),
+            jnp.asarray(Rs, jnp.float32),
+            jnp.asarray(ts, jnp.float32),
+            jnp.asarray(np.stack([K] * 4), jnp.float32),
+            jnp.asarray(X, jnp.float32),
+            iterations=15,
+            angle_thresh_deg=0.5,
+            t_norm_thresh=0.01,
+        )
+        r = np.asarray(restored)
+        assert not r[0]
+        # cams 1..3 restore together or not at all
+        assert r[1:].all() or not r[1:].any()
+        if r[1:].all():
+            np.testing.assert_allclose(
+                np.asarray(res.R), Rs.astype(np.float32), atol=1e-6
+            )
+
+    def test_motion_only_keeps_structure(self, rng):
+        """BA_MOT (optimMotionOnly): points must come back untouched."""
+        n = 150
+        X, K, dist_gt, Rs, ts, obs = self._rig_scene(
+            rng, n=n, dist_k1=0.0, noise_px=0.1
+        )
+        X0 = X + rng.normal(scale=0.005, size=X.shape)
+        res, restored = ba.refine_multi_cam_ba(
+            jnp.asarray(obs, jnp.float32),
+            jnp.ones((n, 4), jnp.float32),
+            jnp.asarray(Rs, jnp.float32),
+            jnp.asarray(ts, jnp.float32),
+            jnp.asarray(np.stack([K] * 4), jnp.float32),
+            jnp.asarray(X0, jnp.float32),
+            iterations=10,
+            motion_only=True,
+            angle_thresh_deg=5.0,
+            t_norm_thresh=0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.points), X0.astype(np.float32), atol=1e-7
+        )
+
 
 class TestLowLevel:
     def test_exp_so3_roundtrip(self, rng):

@@ -152,11 +152,13 @@ def test_sharded_ba_matches_local(rng):
     )
     local = ba.bundle_adjust(**args)
     shard = bundle_adjust_sharded(m, **args)
+    # atol reflects f32 psum-vs-local reduction-order noise amplified over
+    # 8 LM iterations, not a semantic difference
     np.testing.assert_allclose(
-        np.asarray(shard.R), np.asarray(local.R), atol=2e-4
+        np.asarray(shard.R), np.asarray(local.R), atol=5e-4
     )
     np.testing.assert_allclose(
-        np.asarray(shard.t), np.asarray(local.t), atol=2e-4
+        np.asarray(shard.t), np.asarray(local.t), atol=5e-4
     )
     np.testing.assert_allclose(
         np.asarray(shard.points), np.asarray(local.points), atol=5e-3
