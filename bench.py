@@ -1,18 +1,29 @@
-"""Benchmark: frames/s of the full detect+match+pose pipeline on real data.
+"""Benchmark of record: pipeline fps, batched throughput, kNN roofline.
 
-Runs the flagship stereo pipeline on the reference repo's bundled
-KITTI-calibrated stereo pair (1392x512) at 2048 keypoints with a
-1024-hypothesis 5pt robust pose, on the available accelerator. Prints ONE
-JSON line {"metric", "value", "unit", "vs_baseline"}.
+Headline (the ONE stdout JSON line): frames/s of the full
+detect+match+pose pipeline on the reference repo's bundled
+KITTI-calibrated stereo pair (1392x512, 2048 keypoints, 1024-hypothesis
+5pt robust pose), divided by the MEASURED reference-workload baseline.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); its printed
-per-stage CPU timings for a comparable configuration (GMbSOF matching +
-USAC pose at 2k features) sum to ~100 ms/frame on a desktop CPU, i.e.
-~10 frames/s. vs_baseline = measured_fps / 10.0 against that estimate.
+vs_baseline: BASELINE_MEASURED.json records the reference's own workload
+(FAST+ORB+ratio matching+USAC pose via the OpenCV calls its
+matchers.cpp/features.cpp dispatch to) measured on this machine's CPU:
+17.87 frames/s single-thread on the same frames. The reference itself
+publishes no numbers (BASELINE.md / SURVEY.md §6).
+
+Supplementary metrics (stderr + BENCH_DETAIL.json):
+- batched pairs/s via StereoPipeline.run_batch (vmap over 8 pairs — the
+  data-parallel unit of the `pairs` mesh axis),
+- Pallas fused 2-NN at 30k x 30k binary descriptors: queries/s and an MXU
+  utilization estimate (contraction FLOPs / runtime vs. 197 TFLOP/s bf16
+  peak of one TPU v5e chip),
+- per-stage device timings (detect / describe / match / pose), the
+  reference's stage taxonomy (correspondences.cpp:221-240).
 """
 
 import json
 import pathlib
+import sys
 import time
 
 import numpy as np
@@ -20,13 +31,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+REPO = pathlib.Path(__file__).resolve().parent
+TPU_V5E_PEAK_BF16 = 197e12  # FLOP/s, one chip
 
-def main():
-    from matchinglib_poselib_tpu.config import (
-        DetectorConfig, DescriptorConfig, MatchingConfig, PoseConfig,
-        RobustConfig,
-    )
-    from matchinglib_poselib_tpu.models import pipeline
+
+def _measured_baseline_fps() -> float:
+    f = REPO / "BASELINE_MEASURED.json"
+    if f.exists():
+        d = json.loads(f.read_text())
+        return float(d["single_thread"]["frames_per_s"])
+    return 17.87
+
+
+def _load_data():
     from matchinglib_poselib_tpu.utils import io
 
     stereo = pathlib.Path(
@@ -48,44 +65,159 @@ def main():
             [[980.0, 0, 690.0], [0, 975.0, 247.0], [0, 0, 1.0]], jnp.float32
         )
         d1 = d2 = jnp.zeros(5, jnp.float32)
+    return jnp.asarray(img1), jnp.asarray(img2), K1, K2, d1, d2
+
+
+def _time(fn, *args, n_iter=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def bench_pipeline(i1, i2, K1, K2, d1, d2):
+    """Single-pair fps + per-stage timings."""
+    from matchinglib_poselib_tpu.config import (
+        DetectorConfig, DescriptorConfig, MatchingConfig, PoseConfig,
+        RobustConfig,
+    )
+    from matchinglib_poselib_tpu.models import pipeline
+    from matchinglib_poselib_tpu.ops import features
 
     det = DetectorConfig(kind="FAST", max_keypoints=2048, fast_threshold=12.0)
     desc = DescriptorConfig(kind="ORB")
     match = MatchingConfig(matcher_name="GMBSOF")
-    pose_cfg = PoseConfig(
-        robust=RobustConfig(batch_hypotheses=256, max_batches=4)
-    )
-
+    pose_cfg = PoseConfig(robust=RobustConfig(batch_hypotheses=256, max_batches=4))
     base_key = jax.random.PRNGKey(0)
 
-    # The per-frame PRNG fold stays INSIDE the jit and the frame index is
-    # passed as a Python scalar: materializing a fresh key array on the
-    # host per frame costs one extra device round trip per dispatch
-    # (~40 ms through a tunneled chip), 3-4x the whole compute step.
-    def step(i1, i2, frame_idx):
+    # The per-frame PRNG fold stays INSIDE the jit: materializing a key on
+    # the host per frame costs a device round trip per dispatch (~40 ms
+    # through a tunneled chip), 3-4x the whole compute step.
+    def step(a, b, frame_idx):
         key = jax.random.fold_in(base_key, frame_idx)
-        corr = pipeline.get_correspondences(i1, i2, det, desc, match)
+        corr = pipeline.get_correspondences(a, b, det, desc, match)
         res = pipeline.estimate_pose(
             corr.pts1, corr.pts2, corr.mask, corr.quality,
             K1, K2, d1, d2, pose_cfg, key,
         )
         return res.R, res.t, res.n_inliers
 
-    stepj = jax.jit(step)
-    i1 = jnp.asarray(img1)
-    i2 = jnp.asarray(img2)
-
-    # warmup/compile
-    out = stepj(i1, i2, 0)
-    jax.block_until_ready(out)
-
-    n_iter = 50
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = stepj(i1, i2, i)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
+    stepj = jax.jit(step, static_argnums=(2,))
+    dt = _time(lambda: stepj(i1, i2, 0), n_iter=50)
     fps = 1.0 / dt
+
+    # per-stage device timings (same taxonomy as tools/baseline_cpu.py)
+    detj = jax.jit(lambda a: features.detect_keypoints(a, det))
+    dt_det = _time(lambda: (detj(i1), detj(i2)), n_iter=20)
+    kp1 = detj(i1)
+    kp2 = detj(i2)
+    descj = jax.jit(lambda a, k: features.compute_descriptors(a, k, desc))
+    dt_desc = _time(lambda: (descj(i1, kp1), descj(i2, kp2)), n_iter=20)
+    corrj = jax.jit(
+        lambda a, b: pipeline.get_correspondences(a, b, det, desc, match)
+    )
+    dt_corr = _time(lambda: corrj(i1, i2), n_iter=20)
+    corr = corrj(i1, i2)
+    posej = jax.jit(
+        lambda c, k: pipeline.estimate_pose(
+            c.pts1, c.pts2, c.mask, c.quality, K1, K2, d1, d2, pose_cfg, k
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    dt_pose = _time(lambda: posej(corr, key), n_iter=20)
+
+    # NOTE: stages timed as separate jit programs; the fused pipeline
+    # overlaps/fuses across stage boundaries, so the per-stage sum can
+    # exceed total_fused_ms (and correspondences_ms can be below
+    # detect+describe measured standalone).
+    stages_ms = {
+        "detect_ms": 1e3 * dt_det,
+        "describe_ms": 1e3 * dt_desc,
+        "correspondences_ms": 1e3 * dt_corr,
+        "pose_ms": 1e3 * dt_pose,
+        "total_fused_ms": 1e3 * dt,
+    }
+    return fps, stages_ms
+
+
+def bench_batched(i1, i2, K1, K2, d1, d2, batch=8):
+    """pairs/s of StereoPipeline.run_batch (vmap over the pair axis)."""
+    from matchinglib_poselib_tpu.config import (
+        DetectorConfig, DescriptorConfig, MatchingConfig, PoseConfig,
+        RobustConfig,
+    )
+    from matchinglib_poselib_tpu.models.pipeline import StereoPipeline
+
+    pipe = StereoPipeline(
+        det_cfg=DetectorConfig(kind="FAST", max_keypoints=2048,
+                               fast_threshold=12.0),
+        desc_cfg=DescriptorConfig(kind="ORB"),
+        match_cfg=MatchingConfig(matcher_name="GMBSOF"),
+        pose_cfg=PoseConfig(robust=RobustConfig(batch_hypotheses=256,
+                                                max_batches=4)),
+    )
+    imgs1 = jnp.broadcast_to(i1, (batch,) + i1.shape)
+    imgs2 = jnp.broadcast_to(i2, (batch,) + i2.shape)
+    key = jax.random.PRNGKey(1)
+
+    runj = jax.jit(
+        lambda a, b, k: pipe.run_batch(a, b, K1, K2, d1, d2, k)[1][:3]
+    )
+    dt = _time(lambda: runj(imgs1, imgs2, key), n_iter=10)
+    return batch / dt
+
+
+def bench_knn(n=30720, bits=256):
+    """Pallas fused 2-NN at database scale: queries/s + MXU utilization."""
+    from matchinglib_poselib_tpu.ops.pallas import knn
+
+    rng = np.random.default_rng(0)
+    signs = jnp.asarray(
+        rng.integers(0, 2, size=(2 * n, bits)) * 2.0 - 1.0, jnp.bfloat16
+    )
+    q, db = signs[:n], signs[n:]
+    valid = jnp.ones(n, jnp.float32)
+
+    knnj = jax.jit(
+        lambda a, b, v: knn.knn2(a, b, v, binary=True, bits=bits)
+    )
+    dt = _time(lambda: knnj(q, db, valid), n_iter=10)
+    dp = ((bits + 127) // 128) * 128
+    flops = 2.0 * n * n * dp
+    return {
+        "knn_queries_per_s": n / dt,
+        "knn_n": n,
+        "knn_bits": bits,
+        "knn_ms": 1e3 * dt,
+        "knn_tflops": flops / dt / 1e12,
+        "knn_mxu_utilization": flops / dt / TPU_V5E_PEAK_BF16,
+    }
+
+
+def main():
+    i1, i2, K1, K2, d1, d2 = _load_data()
+    baseline_fps = _measured_baseline_fps()
+
+    fps, stages = bench_pipeline(i1, i2, K1, K2, d1, d2)
+    pairs_per_s = bench_batched(i1, i2, K1, K2, d1, d2, batch=8)
+    knn_stats = bench_knn()
+
+    detail = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "single_pair_fps": fps,
+        "batched8_pairs_per_s": pairs_per_s,
+        "batched8_speedup_vs_single": pairs_per_s / fps,
+        "baseline_fps_measured_cpu": baseline_fps,
+        "stages": stages,
+        **knn_stats,
+    }
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=2))
+    print(json.dumps(detail, indent=2), file=sys.stderr)
 
     print(
         json.dumps(
@@ -93,7 +225,7 @@ def main():
                 "metric": "frames/s detect+match+pose (1392x512, 2048kp, 5pt RANSAC)",
                 "value": round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 10.0, 2),
+                "vs_baseline": round(fps / baseline_fps, 2),
             }
         )
     )
