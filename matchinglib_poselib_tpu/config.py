@@ -104,6 +104,13 @@ class MatchingConfig:
     sof_filter: bool = False
     sof_grid_px: int = 100
     sof_validation_th: float = 0.3
+    # AUTOTH (match_statOptFlow.cpp:766-801): adapt the validation threshold
+    # to the inlier ratio estimated from the ratio-test distribution
+    sof_autoth: bool = True
+    # strongest-keypoints-per-cell SOF-field initialization
+    # (get_Sparse_KeypointField, match_statOptFlow.cpp:5215)
+    sof_init_strongest: bool = True
+    sof_init_per_cell: int = 32
     # VFC filter (vfc.cpp)
     vfc_filter: bool = False
     # subpixel refinement (matchers.cpp:1085-1398)

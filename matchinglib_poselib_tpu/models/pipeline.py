@@ -123,12 +123,34 @@ def get_correspondences(
             validation_th=match_cfg.sof_validation_th,
         )
     elif match_cfg.matcher_name.upper() == "GMBSOF":
+        # the SOF field is estimated from a spatially balanced subset: the
+        # strongest keypoints per grid cell (get_Sparse_KeypointField,
+        # match_statOptFlow.cpp:5215) — weak clutter never pollutes the
+        # per-cell flow statistics; the guided pass 2 still rematches ALL
+        # keypoints
+        init_mask = mask
+        if match_cfg.sof_init_strongest:
+            strong1 = filters.select_strongest_per_cell(
+                kps1.xy, kps1.score, kps1.mask, shape,
+                cell_px=match_cfg.sof_grid_px,
+                per_cell=match_cfg.sof_init_per_cell,
+            )
+            init_mask = mask & strong1
+        # AUTOTH (match_statOptFlow.cpp:766-801): the validation threshold
+        # adapts to the inlier ratio estimated from the ratio-test
+        # distance distribution
+        if match_cfg.sof_autoth:
+            vth = filters.autoth_validation_th(
+                matching.estimate_inlier_ratio_from_ratios(res), binary
+            )
+        else:
+            vth = match_cfg.sof_validation_th
         # pass 2: SOF field from initial matches -> guided rematch within
         # the predicted radius (AdvancedMatching semantics)
         field = filters.sof_statistics(
-            pts1, pts2, mask, shape,
+            pts1, pts2, init_mask, shape,
             cell_px=match_cfg.sof_grid_px,
-            validation_th=match_cfg.sof_validation_th,
+            validation_th=vth,
         )
         pred, rad = filters.sof_predict(field, kps1.xy, match_cfg.sof_grid_px)
         res = matching.match_descriptors(

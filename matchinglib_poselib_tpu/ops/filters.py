@@ -118,8 +118,122 @@ class SOFField(NamedTuple):
     valid: jax.Array  # (gy, gx) bool — cell had enough consistent matches
 
 
+_TWO_PI = 2.0 * jnp.pi
+
+
+def autoth_validation_th(inlier_ratio: jax.Array, binary: bool) -> jax.Array:
+    """AUTOTH: SOF validation threshold from the estimated inlier ratio.
+
+    Reference: match_statOptFlow.cpp:766-801 (compiled-in AUTOTH block of
+    AdvancedMatching). Float descriptors: th = clip(ratio, 0.3, 0.75).
+    Binary descriptors: th = clip(1.5 * ratio + 0.075, -, 0.75) on the
+    0.15..0.45 band, saturating to 0.3 / 0.75 outside it.
+    """
+    r = jnp.asarray(inlier_ratio, jnp.float32)
+    if binary:
+        mid = jnp.minimum(1.5 * r + 0.075, 0.75)
+        return jnp.where(r >= 0.45, 0.75, jnp.where(r <= 0.15, 0.3, mid))
+    return jnp.clip(r, 0.3, 0.75)
+
+
+def _masked_moments(vals: jax.Array, member: jax.Array, trim: bool = True):
+    """Per-row (median, mean, std) over masked entries; optional IQR trim.
+
+    Reference getStatisticfromVec (match_statOptFlow.cpp:4302) with
+    rejQuartiles=true computes mean/std after rejecting the lower and upper
+    quartiles; the median is taken from the full set.
+    """
+    med = geo.masked_median(vals, member)
+    memberf = member.astype(jnp.float32)
+    if trim:
+        dev = jnp.abs(vals - med[..., None])
+        # IQR band around the median: keep the central half by absolute
+        # deviation (rank-based quartile rejection on the folded values)
+        half = geo.masked_median(dev, member)
+        band = member & (dev <= half[..., None] + 1e-6)
+        memberf = band.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(memberf, axis=-1), 1.0)
+    mean = jnp.sum(vals * memberf, axis=-1) / n
+    var = jnp.sum((vals - mean[..., None]) ** 2 * memberf, axis=-1) / n
+    return med, mean, jnp.sqrt(var)
+
+
+def _masked_circ_moments(ang: jax.Array, member: jax.Array,
+                         trim: bool = True):
+    """Circular (median, mean, std) per row, wrap-around robust.
+
+    Reference getAngularStatistic (match_statOptFlow.cpp:4177) splits the
+    angles at the 0/2pi seam into two branch-cut hypotheses and keeps the
+    one with the smaller dispersion. Here both hypotheses (cut at 0 and at
+    pi) are evaluated densely and selected per row.
+    """
+    a1 = jnp.mod(ang, _TWO_PI)  # cut at 0
+    a2 = jnp.mod(ang + jnp.pi, _TWO_PI)  # cut at pi (values shifted +pi)
+    med1, mean1, std1 = _masked_moments(a1, member, trim)
+    med2, mean2, std2 = _masked_moments(a2, member, trim)
+    pick1 = std1 <= std2
+    med = jnp.where(pick1, med1, jnp.mod(med2 - jnp.pi, _TWO_PI))
+    mean = jnp.where(pick1, mean1, jnp.mod(mean2 - jnp.pi, _TWO_PI))
+    std = jnp.where(pick1, std1, std2)
+    return med, mean, std
+
+
+def _circ_diff(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Smallest absolute angular difference on the circle."""
+    d = jnp.mod(a - b, _TWO_PI)
+    return jnp.minimum(d, _TWO_PI - d)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("shape", "cell_px", "min_per_cell")
+    jax.jit, static_argnames=("shape", "cell_px", "per_cell")
+)
+def select_strongest_per_cell(
+    xy: jax.Array,
+    response: jax.Array,
+    mask: jax.Array,
+    shape: tuple[int, int],
+    cell_px: int = 100,
+    per_cell: int = 32,
+) -> jax.Array:
+    """Keep the `per_cell` strongest keypoints of every grid cell.
+
+    Reference: get_Sparse_KeypointField (match_statOptFlow.cpp:5215) feeds
+    the INITIAL matching stage with a few strongest-response keypoints per
+    grid element (>= ceil(50 / n_cells) each, response-banded) so the SOF
+    field is estimated from a spatially balanced, high-confidence subset.
+    Here: rank within each cell by response via two stable sorts; no trees.
+    """
+    h, w = shape
+    gy = max(1, (h + cell_px - 1) // cell_px)
+    gx = max(1, (w + cell_px - 1) // cell_px)
+    n = xy.shape[0]
+    maskb = mask.astype(bool)
+    cx = jnp.clip((xy[:, 0] / cell_px).astype(jnp.int32), 0, gx - 1)
+    cy = jnp.clip((xy[:, 1] / cell_px).astype(jnp.int32), 0, gy - 1)
+    cell = jnp.where(maskb, cy * gx + cx, gy * gx)  # invalid -> sentinel
+
+    # sort by response desc (invalid last), then stably by cell: within each
+    # cell the order stays response-descending
+    resp = jnp.where(maskb, response, -jnp.inf)
+    by_resp = jnp.argsort(-resp, stable=True)
+    by_cell = jnp.argsort(cell[by_resp], stable=True)
+    order = by_resp[by_cell]  # (N,) final positions
+    cs = cell[order]
+    pos = jnp.arange(n)
+    is_new = jnp.concatenate(
+        [jnp.ones(1, bool), cs[1:] != cs[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, pos, 0)
+    )
+    rank = pos - seg_start
+    keep_sorted = rank < per_cell
+    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
+    return keep & maskb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "cell_px", "min_per_cell", "std_mult")
 )
 def sof_statistics(
     pts1: jax.Array,
@@ -127,23 +241,44 @@ def sof_statistics(
     mask: jax.Array,
     shape: tuple[int, int],
     cell_px: int = 100,
-    validation_th: float = 0.3,
+    validation_th: float | jax.Array = 0.3,
     min_per_cell: int = 8,
+    std_mult: float = 3.5,
 ) -> SOFField:
-    """Per-cell robust flow statistics + validation + fill/smooth.
+    """Per-cell robust flow statistics + dual validation + fill/smooth.
 
-    Reference: getStatisticalMatchingPositions (match_statOptFlow.cpp:2608)
-    computes per-cell distance & angle statistics with KD-tree gathered
-    points; validation rejects cells where (mean - median)/mean of the flow
-    magnitude exceeds validationTH; interpolStatOptFlow (:2266) fills and
-    smooths the field. Here each cell's membership is a dense (C, N) mask
-    and statistics are masked sorts — no trees.
+    Reference: getStatisticalMatchingPositions (match_statOptFlow.cpp:2608):
+
+    - per-cell DISTANCE statistics (quartile-rejected median/mean/std of
+      the flow magnitude) and ANGLE statistics (getAngularStatistic :4177,
+      branch-cut-hypothesis circular stats);
+    - dual cell validation (:3410-3450): a cell fails on distances when
+      |mean - med| / (mean + 0.1) > validationTH AND |mean - med| > 0.5
+      (minAbsDistDiff :2621), and on angles when the circular
+      |mean - med| / pi exceeds validationTH / 6 (validThAngDivFact :2620);
+    - stats-over-stats band filter (:3488-3530): global angle/distance
+      statistics over the valid cells' medians (std floors
+      1.07*atan(1/(mu_d+0.1))/4 and 0.5), individual flow vectors outside
+      mean +- 4*std (stdMult_th :2619) are removed before the per-cell flow
+      medians and search radii are recomputed;
+    - search radius r = stdMult * sigma (:2618, stdMult default 3.5,
+      clamped to [1, 7] at :2642-2652);
+    - interpolStatOptFlow (:2266) fills and smooths invalid cells.
+
+    Membership is a dense (C, N) mask and statistics are masked sorts — no
+    trees. validation_th may be a traced scalar (AUTOTH adapts it from the
+    estimated inlier ratio, autoth_validation_th); when the primary
+    threshold validates zero cells the strict fallback threshold 0.3 is
+    applied (the reference's one retry with estim_inlRatio = 0.001 at
+    :806-825).
     """
     h, w = shape
     gy = max(1, (h + cell_px - 1) // cell_px)
     gx = max(1, (w + cell_px - 1) // cell_px)
     C = gy * gx
     maskb = mask.astype(bool)
+    std_mult = min(max(std_mult, 1.0), 7.0)
+    vth = jnp.clip(jnp.asarray(validation_th, jnp.float32), 0.1, 1.0)
 
     cx = jnp.clip((pts1[:, 0] / cell_px).astype(jnp.int32), 0, gx - 1)
     cy = jnp.clip((pts1[:, 1] / cell_px).astype(jnp.int32), 0, gy - 1)
@@ -151,50 +286,78 @@ def sof_statistics(
 
     flow = pts2 - pts1  # (N, 2)
     member = (cell[None, :] == jnp.arange(C)[:, None]) & maskb[None, :]  # (C, N)
-    memberf = member.astype(jnp.float32)
-    n_cell = jnp.sum(memberf, axis=1)
+    n_cell = jnp.sum(member.astype(jnp.float32), axis=1)
+
+    mag = jnp.linalg.norm(flow, axis=-1)  # (N,)
+    ang = jnp.mod(jnp.arctan2(flow[:, 1], flow[:, 0]), _TWO_PI)  # (N,)
+    magb = jnp.broadcast_to(mag[None, :], (C, mag.shape[0]))
+    angb = jnp.broadcast_to(ang[None, :], (C, ang.shape[0]))
+
+    d_med, d_mean, d_std = _masked_moments(magb, member)
+    a_med, a_mean, a_std = _masked_circ_moments(angb, member)
+
+    # dual validation (distance + angle), per cell
+    d_diff = jnp.abs(d_mean - d_med)
+    dist_fail = (d_diff / (d_mean + 0.1) > vth) & (d_diff > 0.5)
+    a_diff = _circ_diff(a_mean, a_med) / jnp.pi
+    ang_fail = a_diff > (vth / 6.0)
+    enough = n_cell >= min_per_cell
+    valid = enough & ~dist_fail & ~ang_fail
+    # AUTOTH retry (:806-825): zero validated cells -> strict threshold 0.3
+    fb_dist_fail = (d_diff / (d_mean + 0.1) > 0.3) & (d_diff > 0.5)
+    fb_ang_fail = a_diff > 0.05
+    valid_fb = enough & ~fb_dist_fail & ~fb_ang_fail
+    valid = jnp.where(jnp.any(valid), valid, valid_fb)
+
+    # stats-over-stats: global angle/distance statistics over the medians
+    # of the validated cells, with the reference's std floors
+    _, g_ang_mean, g_ang_std = _masked_circ_moments(
+        a_med[None, :], valid[None, :], trim=False
+    )
+    _, g_d_mean, g_d_std = _masked_moments(
+        d_med[None, :], valid[None, :], trim=False
+    )
+    g_ang_mean, g_ang_std = g_ang_mean[0], g_ang_std[0]
+    g_d_mean, g_d_std = g_d_mean[0], g_d_std[0]
+    min_std_ang = 1.07 * jnp.arctan(1.0 / (g_d_mean + 0.1)) / 4.0
+    g_ang_std = jnp.maximum(g_ang_std, min_std_ang)
+    g_d_std = jnp.maximum(g_d_std, 0.5)
+
+    # band filter individual flow vectors at mean +- 4 sigma, then
+    # recompute the per-cell flow medians + dispersion on the survivors
+    in_band = (
+        (_circ_diff(ang, g_ang_mean) <= 4.0 * g_ang_std)
+        & (jnp.abs(mag - g_d_mean) <= 4.0 * g_d_std)
+    )
+    any_band = jnp.any(in_band & maskb)
+    member2 = member & jnp.where(any_band, in_band, maskb)[None, :]
+    n2 = jnp.sum(member2.astype(jnp.float32), axis=1)
 
     def cellwise_median(vals):  # vals (N,) -> (C,)
         return geo.masked_median(
-            jnp.broadcast_to(vals[None, :], (C, vals.shape[0])), member
+            jnp.broadcast_to(vals[None, :], (C, vals.shape[0])), member2
         )
 
     med_dx = cellwise_median(flow[:, 0])
     med_dy = cellwise_median(flow[:, 1])
-    mag = jnp.linalg.norm(flow, axis=-1)
-    med_mag = cellwise_median(mag)
-    # dispersion around the cell median -> search radius
     dev = jnp.linalg.norm(
         flow[None, :, :] - jnp.stack([med_dx, med_dy], axis=-1)[:, None, :],
         axis=-1,
     )
-    mad = geo.masked_median(dev, member)
-
-    # validation on the MAD-trimmed subset: gross outliers (rejected by the
-    # 3*MAD band) must not poison the mean — the reference reaches the same
-    # robustness through its mean/median cross-check plus AUTOTH retries
-    # (match_statOptFlow.cpp getStatisticfromVec + validation at :2608ff).
-    band = member & (dev <= 3.0 * mad[:, None] + 2.0)
-    bandf = band.astype(jnp.float32)
-    n_band = jnp.sum(bandf, axis=1)
-    mean_mag_t = jnp.sum(mag[None, :] * bandf, axis=1) / jnp.maximum(n_band, 1.0)
-    rel = jnp.abs(mean_mag_t - med_mag) / jnp.maximum(mean_mag_t, 1e-6)
-    # a consistent cell keeps most members in the trimmed band AND has a
-    # stable trimmed mean; an inconsistent cell loses half its members or
-    # drifts
-    frac_in_band = n_band / jnp.maximum(n_cell, 1.0)
-    # dispersion bound: a cell with a real dominant flow has MAD far below
-    # the flow magnitude; random-flow cells have MAD ~ image scale
-    mad_ok = mad <= validation_th * jnp.maximum(med_mag, 80.0)
-    valid = (
-        (n_cell >= min_per_cell)
-        & (rel < validation_th)
-        & (frac_in_band > 0.5)
-        & mad_ok
-    )
+    mad = geo.masked_median(dev, member2)
+    sigma = 1.4826 * mad  # robust sigma from the MAD
+    # dispersion bound on the surviving members: a cell with a real
+    # dominant flow has sigma far below the flow magnitude; uniform-random
+    # cells keep sigma ~ image scale even after the band filter (the
+    # reference reaches the same end through its huge stdMult*sigma search
+    # radius, which the ratio test then empties — here the cell is marked
+    # invalid so the field fill interpolates over it instead)
+    med_mag2 = cellwise_median(mag)
+    sigma_ok = sigma <= vth * jnp.maximum(med_mag2, 80.0)
+    valid = valid & sigma_ok & (n2 >= jnp.minimum(min_per_cell, 2.0))
 
     cell_flow = jnp.stack([med_dx, med_dy], axis=-1).reshape(gy, gx, 2)
-    cell_rad = (3.0 * mad + 8.0).reshape(gy, gx)
+    cell_rad = (std_mult * sigma + 4.0).reshape(gy, gx)
     validg = valid.reshape(gy, gx)
 
     # fill invalid cells by distance-weighted average of valid cells
@@ -211,10 +374,18 @@ def sof_statistics(
     flow_out = jnp.where(
         validg.reshape(C, 1), cell_flow.reshape(C, 2), fill_flow
     ).reshape(gy, gx, 2)
-    # invalid cells get inflated uncertainty (x2, like the reference's
-    # distance-dependent radius growth in interpolStatOptFlow)
+    # invalid cells get inflated uncertainty: x2 the interpolated radius
+    # PLUS growth with the distance to the nearest valid cell, like the
+    # reference's distance-dependent radius growth in interpolStatOptFlow
+    # (match_statOptFlow.cpp:2266) — a field supported by a single distant
+    # cell must not impose that cell's tight radius everywhere
+    dmin = jnp.sqrt(
+        jnp.min(jnp.where(validg.reshape(1, C), d2, jnp.inf), axis=1)
+    )  # (C,) distance in cell units to the nearest valid cell
     rad_out = jnp.where(
-        validg.reshape(C), cell_rad.reshape(C), 2.0 * fill_rad
+        validg.reshape(C),
+        cell_rad.reshape(C),
+        2.0 * fill_rad + 0.5 * cell_px * dmin,
     ).reshape(gy, gx)
     rad_out = jnp.where(any_valid, rad_out, jnp.full_like(rad_out, 1e6))
     return SOFField(flow=flow_out, radius=rad_out, valid=validg)

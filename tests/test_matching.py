@@ -222,3 +222,106 @@ def test_ratio_fallback_low_texture(rng):
     )
     assert int(jnp.sum(a.mask)) >= 30
     np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
+# ---------------------------------------------------------------------------
+# GMbSOF fidelity: angular statistics, AUTOTH, strongest-per-cell init
+# ---------------------------------------------------------------------------
+
+
+def test_autoth_validation_th_formula():
+    """AUTOTH mapping (match_statOptFlow.cpp:766-801)."""
+    tol = dict(rtol=1e-6)
+    # binary descriptors
+    np.testing.assert_allclose(
+        float(filters.autoth_validation_th(0.10, binary=True)), 0.3, **tol)
+    np.testing.assert_allclose(
+        float(filters.autoth_validation_th(0.50, binary=True)), 0.75, **tol)
+    np.testing.assert_allclose(
+        float(filters.autoth_validation_th(0.30, binary=True)),
+        1.5 * 0.30 + 0.075, **tol)
+    # float descriptors: clip(ratio, 0.3, 0.75)
+    np.testing.assert_allclose(
+        float(filters.autoth_validation_th(0.10, binary=False)), 0.3, **tol)
+    np.testing.assert_allclose(
+        float(filters.autoth_validation_th(0.50, binary=False)), 0.5, **tol)
+    np.testing.assert_allclose(
+        float(filters.autoth_validation_th(0.90, binary=False)), 0.75, **tol)
+
+
+def test_circular_stats_wraparound(rng):
+    """Angles straddling the 0/2pi seam must yield tight statistics.
+
+    getAngularStatistic (match_statOptFlow.cpp:4177) exists exactly for
+    this case: a naive mean of angles near 0 and near 2pi lands at pi.
+    """
+    ang = np.concatenate([
+        rng.normal(scale=0.05, size=64) % (2 * np.pi),          # near 0/2pi
+    ])
+    member = jnp.ones((1, len(ang)), bool)
+    med, mean, std = filters._masked_circ_moments(
+        jnp.asarray(ang)[None, :], member
+    )
+    # mean must be near the seam (0 or 2pi), never near pi
+    d = float(filters._circ_diff(mean[0], jnp.asarray(0.0)))
+    assert d < 0.1, f"circular mean off: {float(mean[0])}"
+    assert float(std[0]) < 0.2
+
+
+def test_sof_angle_validation_rejects_rotation_inconsistency(rng):
+    """Consistent magnitudes + random directions -> cell invalid.
+
+    The distance-only validation of a naive SOF cannot catch this; the
+    reference adds getAngularStatistic-based validation (:3429-3437).
+    """
+    n, shape = 512, (200, 200)  # single 100px grid -> 4 cells
+    pts1 = np.stack(
+        [rng.uniform(0, 200, n), rng.uniform(0, 200, n)], axis=1
+    ).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    mag = 30.0 + rng.normal(scale=0.5, size=n)
+    pts2 = pts1 + np.stack(
+        [mag * np.cos(ang), mag * np.sin(ang)], axis=1
+    ).astype(np.float32)
+    field = filters.sof_statistics(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.ones(n), shape
+    )
+    assert int(field.valid.sum()) == 0
+
+
+def test_select_strongest_per_cell(rng):
+    n, shape, k = 256, (200, 200), 8  # 2x2 cells of 100 px
+    xy = np.stack(
+        [rng.uniform(0, 200, n), rng.uniform(0, 200, n)], axis=1
+    ).astype(np.float32)
+    resp = rng.uniform(0, 1, n).astype(np.float32)
+    keep = np.asarray(filters.select_strongest_per_cell(
+        jnp.asarray(xy), jnp.asarray(resp), jnp.ones(n), shape,
+        cell_px=100, per_cell=k,
+    ))
+    cell = (xy[:, 1] // 100).astype(int) * 2 + (xy[:, 0] // 100).astype(int)
+    for c in range(4):
+        in_cell = cell == c
+        kept = keep & in_cell
+        assert kept.sum() == min(k, in_cell.sum())
+        if kept.sum() and (in_cell & ~keep).any():
+            # every kept response >= every dropped response in the cell
+            assert resp[kept].min() >= resp[in_cell & ~keep].max()
+
+
+def test_sof_field_radius_grows_away_from_valid_cells(rng):
+    """interpolStatOptFlow parity: filled cells get distance-grown radii."""
+    n, shape = 256, (200, 600)  # 2x6 grid
+    # consistent flow only in the leftmost column of cells
+    pts1 = np.stack(
+        [rng.uniform(0, 100, n), rng.uniform(0, 200, n)], axis=1
+    ).astype(np.float32)
+    pts2 = pts1 + np.array([12.0, -5.0], np.float32)
+    field = filters.sof_statistics(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.ones(n), shape
+    )
+    rad = np.asarray(field.radius)
+    valid = np.asarray(field.valid)
+    assert valid[:, 0].any() and not valid[:, -1].any()
+    # radius must increase monotonically-ish with distance from col 0
+    assert rad[0, -1] > rad[0, 1]
