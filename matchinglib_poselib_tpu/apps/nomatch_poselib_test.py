@@ -35,17 +35,71 @@ import numpy as np
 from matchinglib_poselib_tpu.apps import common
 
 
-CSV_COLUMNS = [
-    "frame", "state",
-    "R_diffAll", "R_diff_roll", "R_diff_pitch", "R_diff_yaw",
-    "t_angDiff_deg", "t_distDiff",
-    "t_diff_tx", "t_diff_ty", "t_diff_tz",
-    "R_mostLikely_diffAll", "t_mostLikely_angDiff",
-    "nrCorrs_GT", "inlRat_GT", "nrCorrs_estimated", "inlRat_estimated",
-    "poolSize", "poseIsStable", "mostLikelyPose_stable",
-    "filtering_ms", "robEstimationAndRef_ms", "linRefinement_ms",
-    "bundleAdjust_ms", "stereoRefine_ms",
-]
+def _mat_cols(name, rows, cols):
+    return [f"{name}({y},{x})" for y in range(rows) for x in range(cols)]
+
+
+# reference CamMatDiff fields (noMatch_poselib-test/main.cpp:113-154)
+_KDIFF_FIELDS = (
+    "fxDiff", "fyDiff", "fxyDiffNorm", "cxDiff", "cyDiff", "cxyDiffNorm",
+    "cxyfxfyNorm",
+)
+
+CSV_COLUMNS = (
+    [
+        "frame", "state",
+        "R_diffAll", "R_diff_roll", "R_diff_pitch", "R_diff_yaw",
+        "t_angDiff_deg", "t_distDiff",
+        "t_diff_tx", "t_diff_ty", "t_diff_tz",
+        # most-likely-pose variants (algorithmResult main.cpp:207-211)
+        "R_mostLikely_diffAll",
+        "R_mostLikely_diff_roll", "R_mostLikely_diff_pitch",
+        "R_mostLikely_diff_yaw",
+        "t_mostLikely_angDiff_deg", "t_mostLikely_distDiff",
+        "t_mostLikely_diff_tx", "t_mostLikely_diff_ty", "t_mostLikely_diff_tz",
+    ]
+    # full matrices (printCVMat blocks, main.cpp:404-412)
+    + _mat_cols("R_out", 3, 3) + _mat_cols("t_out", 3, 1)
+    + _mat_cols("R_mostLikely", 3, 3) + _mat_cols("t_mostLikely", 3, 1)
+    + _mat_cols("R_GT", 3, 3) + _mat_cols("t_GT", 3, 1)
+    # camera-matrix diffs (CamMatDiff, main.cpp:113-154)
+    + [f"K1_{f}" for f in _KDIFF_FIELDS]
+    + [f"K2_{f}" for f in _KDIFF_FIELDS]
+    + [
+        "nrCorrs_GT", "inlRat_GT", "nrCorrs_estimated", "inlRat_estimated",
+        "poolSize", "poseIsStable", "mostLikelyPose_stable", "ransac_agg",
+        "filtering_ms", "robEstimationAndRef_ms", "linRefinement_ms",
+        "bundleAdjust_ms", "stereoRefine_ms",
+    ]
+)
+
+
+def _kdiff(K_used: np.ndarray, K_gt: np.ndarray) -> dict:
+    """CamMatDiff::calcDiff parity (main.cpp:121-137)."""
+    fx = float(K_used[0, 0] - K_gt[0, 0])
+    fy = float(K_used[1, 1] - K_gt[1, 1])
+    cx = float(K_used[0, 2] - K_gt[0, 2])
+    cy = float(K_used[1, 2] - K_gt[1, 2])
+    return {
+        "fxDiff": fx,
+        "fyDiff": fy,
+        "fxyDiffNorm": float(np.hypot(fx, fy)),
+        "cxDiff": cx,
+        "cyDiff": cy,
+        "cxyDiffNorm": float(np.hypot(cx, cy)),
+        "cxyfxfyNorm": float(np.sqrt(fx * fx + fy * fy + cx * cx + cy * cy)),
+    }
+
+
+def _write_mat(row: dict, name: str, m: np.ndarray):
+    m = np.asarray(m, np.float64).reshape(-1)
+    r = 3 if m.size == 9 else m.size
+    c = 3 if m.size == 9 else 1
+    i = 0
+    for y in range(r):
+        for x in range(c):
+            row[f"{name}({y},{x})"] = round(float(m[i]), 6)
+            i += 1
 
 
 def build_parser():
@@ -95,8 +149,14 @@ def _angles_deg(R):
     return np.degrees(a)
 
 
-def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx):
-    """One frame: estimate + GT metrics. Returns a CSV row dict."""
+def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
+                   accum=None):
+    """One frame: estimate + GT metrics. Returns a CSV row dict.
+
+    accum: optional list buffer of the last --accumCorrs frames'
+    (pts1, pts2) for aggregated robust estimation (reference main.cpp:1742
+    frameInliers_accum; ransac_agg column = frames aggregated).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +176,24 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx):
     row["frame"] = frame_idx
     row["nrCorrs_GT"] = K
     row["inlRat_GT"] = round(float(np.mean(inl_gt)), 4)
+    row["ransac_agg"] = 1
+
+    # K diffs: the frames may carry noisy K1/K2 next to GT intrinsics
+    K1_GT = frame.get("K1_GT", K1)
+    K2_GT = frame.get("K2_GT", K2)
+    for nm, d in (("K1", _kdiff(K1, K1_GT)), ("K2", _kdiff(K2, K2_GT))):
+        for f, v in d.items():
+            row[f"{nm}_{f}"] = round(v, 6)
+
+    # correspondence accumulation over the last --accumCorrs frames
+    if accum is not None and args.accumCorrs > 1:
+        accum.append((pts1, pts2))
+        while len(accum) > args.accumCorrs:
+            accum.pop(0)
+        row["ransac_agg"] = len(accum)
+        pts1 = np.concatenate([a[0] for a in accum], axis=0)
+        pts2 = np.concatenate([a[1] for a in accum], axis=0)
+        K = len(pts1)
 
     mask = np.ones(K, np.float32)
     quality = np.ones(K, np.float32)
@@ -157,13 +235,24 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx):
         row["inlRat_estimated"] = round(float(fr.inlier_ratio), 4)
         row["nrCorrs_estimated"] = int(round(fr.inlier_ratio * mask.sum()))
         rml, tml = np.asarray(fr.R_most_likely), np.asarray(fr.t_most_likely)
-        rdm, tdm, _ = geo.compare_poses(
+        tn_gt = t_GT / np.linalg.norm(t_GT)
+        rdm, tdm, tdd = geo.compare_poses(
             jnp.asarray(R_GT, jnp.float32),
-            jnp.asarray(t_GT / np.linalg.norm(t_GT), jnp.float32),
+            jnp.asarray(tn_gt, jnp.float32),
             jnp.asarray(rml, jnp.float32), jnp.asarray(tml, jnp.float32),
         )
         row["R_mostLikely_diffAll"] = round(float(rdm), 4)
-        row["t_mostLikely_angDiff"] = round(float(tdm), 4)
+        row["t_mostLikely_angDiff_deg"] = round(float(tdm), 4)
+        row["t_mostLikely_distDiff"] = round(float(tdd), 4)
+        ang_ml = _angles_deg(rml @ R_GT.T)
+        row["R_mostLikely_diff_roll"] = round(float(ang_ml[0]), 4)
+        row["R_mostLikely_diff_pitch"] = round(float(ang_ml[1]), 4)
+        row["R_mostLikely_diff_yaw"] = round(float(ang_ml[2]), 4)
+        tml_n = tml / max(np.linalg.norm(tml), 1e-12)
+        for ax, v in zip("xyz", tml_n - tn_gt):
+            row[f"t_mostLikely_diff_t{ax}"] = round(float(v), 4)
+        _write_mat(row, "R_mostLikely", rml)
+        _write_mat(row, "t_mostLikely", tml)
     else:
         t0 = time.perf_counter()
         pose = pipeline.estimate_pose(
@@ -198,6 +287,10 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx):
         row["t_diff_tx"] = round(float(td_el[0]), 4)
         row["t_diff_ty"] = round(float(td_el[1]), 4)
         row["t_diff_tz"] = round(float(td_el[2]), 4)
+    _write_mat(row, "R_out", R_est)
+    _write_mat(row, "t_out", t_est)
+    _write_mat(row, "R_GT", R_GT)
+    _write_mat(row, "t_GT", t_GT)
     return row
 
 
@@ -228,13 +321,15 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     csv_path = out / "results.csv"
     key = jax.random.PRNGKey(0)
+    accum: list = []
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=CSV_COLUMNS, delimiter=";")
         w.writeheader()
         for i, fp in enumerate(frames):
             frame = dict(np.load(fp))
             row = evaluate_frame(
-                frame, pose_cfg, stereo_ref, args, jax.random.fold_in(key, i), i
+                frame, pose_cfg, stereo_ref, args,
+                jax.random.fold_in(key, i), i, accum=accum,
             )
             w.writerow(row)
             if args.v > 0:
