@@ -1,0 +1,186 @@
+"""Accuracy-parity table: this framework vs the reference workload (OpenCV).
+
+VERDICT item 2's second half: a committed accuracy comparison on the SAME
+image pairs. The reference binaries cannot be built offline (ci/*.sh
+network fetches), so the comparison target is the identical OpenCV
+workload the reference's matchinglib/poselib dispatch to (features.cpp /
+matchers.cpp / five-point USAC), exactly as in tools/baseline_cpu.py:
+FAST(grid-capped 2048) + ORB + BF 2NN ratio 0.75 + findEssentialMat
+(USAC_DEFAULT, 0.8 px) + recoverPose.
+
+Both stacks run on every bundled KITTI stereo pair
+(source/tests/poselib-test/imgs/stereo) and are judged against the
+calibration extrinsics (the reference's own --compInitPose check,
+poselib-test/main.cpp compareRTs). Writes PARITY_ACCURACY.md.
+
+Run: python tools/parity_accuracy.py   (uses the available jax backend)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+STEREO = pathlib.Path(
+    "/root/reference/matchinglib_poselib/source/tests/poselib-test/imgs/stereo"
+)
+N_KPTS = 2048
+RATIO = 0.75
+TH_PX = 0.8
+
+
+def rot_angle_deg(R1, R2):
+    c = (np.trace(R1.T @ R2) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def t_angle_deg(t1, t2):
+    t1 = t1.ravel() / np.linalg.norm(t1)
+    t2 = t2.ravel() / np.linalg.norm(t2)
+    # translation sign is ambiguous between conventions; report min angle
+    a = np.degrees(np.arccos(np.clip(abs(np.dot(t1, t2)), -1.0, 1.0)))
+    return float(a)
+
+
+def opencv_rows(pairs, K1, K2, R_gt, t_gt):
+    import cv2
+
+    from tools.baseline_cpu import grid_cap
+
+    detector = cv2.FastFeatureDetector_create(threshold=12)
+    orb = cv2.ORB_create(nfeatures=N_KPTS)
+    matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+    rows = []
+    for img1, img2 in pairs:
+        kp1 = grid_cap(detector.detect(img1, None), N_KPTS, img1.shape)
+        kp2 = grid_cap(detector.detect(img2, None), N_KPTS, img2.shape)
+        kp1, d1 = orb.compute(img1, kp1)
+        kp2, d2 = orb.compute(img2, kp2)
+        knn = matcher.knnMatch(d1, d2, k=2)
+        good = [m for m, n in (p for p in knn if len(p) == 2)
+                if m.distance < RATIO * n.distance]
+        row = dict(n=len(good), rot=np.nan, tang=np.nan)
+        if len(good) >= 5:
+            p1 = np.float64([kp1[m.queryIdx].pt for m in good])
+            p2 = np.float64([kp2[m.trainIdx].pt for m in good])
+            E, inl = cv2.findEssentialMat(
+                p1, p2, cameraMatrix1=K1, cameraMatrix2=K2,
+                distCoeffs1=None, distCoeffs2=None,
+                method=cv2.USAC_DEFAULT, prob=0.999, threshold=TH_PX,
+            )
+            if E is not None and E.shape[0] >= 3:
+                _, R, t, _ = cv2.recoverPose(E[:3], p1, p2, K1, inl)
+                row["rot"] = rot_angle_deg(R, R_gt)
+                row["tang"] = t_angle_deg(t, t_gt)
+        rows.append(row)
+    return rows
+
+
+def ours_rows(n_pairs, R_gt, t_gt):
+    import jax
+    import jax.numpy as jnp
+
+    from matchinglib_poselib_tpu.config import (
+        DescriptorConfig, DetectorConfig, MatchingConfig, PoseConfig,
+        RobustConfig,
+    )
+    from matchinglib_poselib_tpu.models import pipeline
+    from matchinglib_poselib_tpu.utils import io
+
+    calib = io.load_kitti_calib(STEREO / "calib_cam_to_cam.txt")
+    K0 = jnp.asarray(calib.K0, jnp.float32)
+    K1j = jnp.asarray(calib.K1, jnp.float32)
+    d0 = jnp.asarray(calib.dist0, jnp.float32)
+    d1 = jnp.asarray(calib.dist1, jnp.float32)
+    det = DetectorConfig(kind="FAST", max_keypoints=N_KPTS,
+                         fast_threshold=12.0)
+    pcfg = PoseConfig(robust=RobustConfig(batch_hypotheses=256,
+                                          max_batches=4))
+    rows = []
+    for i in range(n_pairs):
+        i1 = jnp.asarray(io.load_image_gray(STEREO / f"left_{i:010d}.png"))
+        i2 = jnp.asarray(io.load_image_gray(STEREO / f"right_{i:010d}.png"))
+        corr = pipeline.get_correspondences(
+            i1, i2, det, DescriptorConfig(kind="ORB"),
+            MatchingConfig(matcher_name="GMBSOF"),
+        )
+        res = pipeline.estimate_pose(
+            corr.pts1, corr.pts2, corr.mask, corr.quality,
+            K0, K1j, d0, d1, pcfg, jax.random.PRNGKey(i),
+        )
+        R = np.asarray(res.R, np.float64)
+        t = np.asarray(res.t, np.float64)
+        rows.append(dict(n=int(corr.n), rot=rot_angle_deg(R, R_gt),
+                         tang=t_angle_deg(t, t_gt)))
+    return rows
+
+
+def main():
+    import cv2
+
+    from matchinglib_poselib_tpu.utils import io as tio
+
+    calib = tio.load_kitti_calib(STEREO / "calib_cam_to_cam.txt")
+    R_gt = np.asarray(calib.R, np.float64)
+    t_gt = np.asarray(calib.t, np.float64)
+    K1 = np.asarray(calib.K0, np.float64)
+    K2 = np.asarray(calib.K1, np.float64)
+
+    lefts = sorted(STEREO.glob("left_*.png"))
+    rights = sorted(STEREO.glob("right_*.png"))
+    pairs = [
+        (cv2.imread(str(a), cv2.IMREAD_GRAYSCALE),
+         cv2.imread(str(b), cv2.IMREAD_GRAYSCALE))
+        for a, b in zip(lefts, rights)
+    ]
+    cvr = opencv_rows(pairs, K1, K2, R_gt, t_gt)
+    our = ours_rows(len(pairs), R_gt, t_gt)
+
+    lines = [
+        "# Accuracy parity vs the reference workload",
+        "",
+        "Same bundled KITTI stereo pairs, judged against the calibration",
+        "extrinsics (the reference's --compInitPose check). 'reference",
+        "workload' = the OpenCV calls the reference dispatches to",
+        "(FAST+ORB+BF ratio+USAC findEssentialMat+recoverPose); reference",
+        "binaries are not buildable offline (BASELINE_MEASURED.json note).",
+        "Generated by tools/parity_accuracy.py.",
+        "",
+        "| frame | ref matches | ref R_diff | ref t_ang "
+        "| ours matches | ours R_diff | ours t_ang |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for i, (a, b) in enumerate(zip(cvr, our)):
+        lines.append(
+            f"| {i} | {a['n']} | {a['rot']:.3f} | {a['tang']:.3f} "
+            f"| {b['n']} | {b['rot']:.3f} | {b['tang']:.3f} |"
+        )
+    cr = np.asarray([r["rot"] for r in cvr])
+    ct = np.asarray([r["tang"] for r in cvr])
+    orr = np.asarray([r["rot"] for r in our])
+    ot = np.asarray([r["tang"] for r in our])
+    lines += [
+        "",
+        "## Aggregate (deg, mean / median)",
+        "",
+        "| stack | R_diff | t_ang |",
+        "|---|---|---|",
+        f"| reference workload (OpenCV) | {np.nanmean(cr):.3f} / "
+        f"{np.nanmedian(cr):.3f} | {np.nanmean(ct):.3f} / "
+        f"{np.nanmedian(ct):.3f} |",
+        f"| matchinglib_poselib_tpu | {np.nanmean(orr):.3f} / "
+        f"{np.nanmedian(orr):.3f} | {np.nanmean(ot):.3f} / "
+        f"{np.nanmedian(ot):.3f} |",
+    ]
+    (REPO / "PARITY_ACCURACY.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines[-8:]))
+    print("wrote", REPO / "PARITY_ACCURACY.md")
+
+
+if __name__ == "__main__":
+    main()
