@@ -142,6 +142,44 @@ def solve_small(A: jax.Array, B: jax.Array) -> jax.Array:
     return X
 
 
+def solve_small_lanes(A: jax.Array, B: jax.Array):
+    """Batched small linear solve, batch-in-lanes layout.
+
+    A: (..., n, n), B: (..., n, m) -> X with A @ X = B. Same contract as
+    solve_small, but the batch axes are transposed to the minor (lane)
+    dimension before the Gauss-Jordan elimination, so every elimination
+    step is elementwise over the (padded-to-128) batch axis instead of
+    over an n- or m-sized minor dim. ~40x less tile padding for the
+    n=m=10 Nister elimination at B=1024. Partial pivoting per lane via
+    one-hot row selection. Singular systems yield inf/nan (caller checks
+    finiteness), matching solve_small.
+    """
+    n = A.shape[-1]
+    m = B.shape[-1]
+    batch = A.shape[:-2]
+    M = jnp.concatenate([A, B], axis=-1)  # (..., n, n+m)
+    M = jnp.moveaxis(M.reshape((-1,) + M.shape[-2:]), 0, -1)  # (n, n+m, Bt)
+    iota = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(M[:, k, :])  # (n, Bt)
+        col = jnp.where(iota[:, None] >= k, col, -1.0)
+        piv = jnp.argmax(col, axis=0)  # (Bt,)
+        sel = iota[:, None] == piv[None, :]  # (n, Bt)
+        pivrow = jnp.sum(jnp.where(sel[:, None, :], M, 0.0), axis=0)
+        rowk = M[k]  # (n+m, Bt)
+        is_k = (iota == k)[:, None, None]
+        # swap rows k <-> piv (order matters: write piv slot first)
+        M = jnp.where(sel[:, None, :], rowk[None], M)
+        rk = pivrow / pivrow[k]  # normalized pivot row, (n+m, Bt)
+        M = jnp.where(is_k, rk[None], M)
+        # eliminate column k from every other row
+        f = jnp.where((iota == k)[:, None], 0.0, M[:, k, :])  # (n, Bt)
+        M = M - f[:, None, :] * rk[None, :, :]
+        M = jnp.where(is_k, rk[None], M)
+    X = jnp.moveaxis(M[:, n:, :], -1, 0)  # (Bt, n, m)
+    return X.reshape(batch + (n, m))
+
+
 def det_small(A: jax.Array) -> jax.Array:
     """Batched determinant of tiny (n, n) matrices via unrolled elimination.
 
@@ -242,20 +280,50 @@ def _constraint_values(Ebasis: jax.Array) -> jax.Array:
 
     Ebasis: (..., 4, 3, 3) with E(x,y,z) = x*E0 + y*E1 + z*E2 + E3.
     Returns (..., 10, 20).
+
+    Structure-of-arrays form: every intermediate is a (..., 20) array of
+    one scalar component. TPU tiles pad the two minor dims to (8, 128), so
+    the obvious (..., 20, 3, 3)-einsum formulation runs at ~2% lane
+    utilization (and jnp.linalg.det lowers to batched LU); this form keeps
+    the 20-point axis minor and uses the closed-form 3x3 determinant.
     """
     pts = _INTERP_PTS  # (20, 3)
-    w = jnp.concatenate([pts, jnp.ones((20, 1), pts.dtype)], axis=1)  # (20, 4)
-    # E at each point: (..., 20, 3, 3)
-    Ep = jnp.einsum("kb,...bij->...kij", w, Ebasis)
-    detE = jnp.linalg.det(Ep)  # (..., 20)
-    EEt = Ep @ jnp.swapaxes(Ep, -1, -2)
-    tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
-    M = 2.0 * (EEt @ Ep) - tr[..., None, None] * Ep  # (..., 20, 3, 3)
-    Mflat = M.reshape(M.shape[:-2] + (9,))  # (..., 20, 9)
-    F = jnp.concatenate(
-        [detE[..., None], Mflat], axis=-1
-    )  # (..., 20, 10)
-    return jnp.swapaxes(F, -1, -2)  # (..., 10, 20)
+    wx, wy, wz = pts[:, 0], pts[:, 1], pts[:, 2]  # (20,) constants
+    # e[i][j]: (..., 20) — E entries at each interpolation point
+    e = [
+        [
+            Ebasis[..., 0, i, j, None] * wx
+            + Ebasis[..., 1, i, j, None] * wy
+            + Ebasis[..., 2, i, j, None] * wz
+            + Ebasis[..., 3, i, j, None]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    # EE^T (symmetric): s[i][l] = sum_j e_ij e_lj
+    s = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for l in range(i, 3):
+            s[i][l] = s[l][i] = (
+                e[i][0] * e[l][0] + e[i][1] * e[l][1] + e[i][2] * e[l][2]
+            )
+    tr = s[0][0] + s[1][1] + s[2][2]
+    # M = 2 (EE^T) E - tr(EE^T) E
+    M = [
+        [
+            2.0 * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
+            - tr * e[i][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    detE = (
+        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
+    )
+    rows = [detE] + [M[i][j] for i in range(3) for j in range(3)]
+    return jnp.stack(rows, axis=-2)  # (..., 10, 20)
 
 
 def _action_matrix(C: jax.Array):
@@ -266,7 +334,7 @@ def _action_matrix(C: jax.Array):
     """
     C_hi = C[..., :, :10]
     C_lo = C[..., :, 10:]
-    B = solve_small(C_hi, C_lo)  # (..., 10, 10)
+    B = solve_small_lanes(C_hi, C_lo)  # (..., 10, 10)
     ok = jnp.all(jnp.isfinite(B), axis=(-1, -2))
     B = jnp.where(ok[..., None, None], B, jnp.zeros_like(B))
 
@@ -454,52 +522,128 @@ def _polish_xyz(Ebasis: jax.Array, xyz: jax.Array, iters: int = 3) -> jax.Array:
     typically 2-3 orders of magnitude on the final Sampson error.
     Ebasis: (..., 4, 3, 3); xyz: (..., R, 3).
 
-    Jacobians are ANALYTIC batched einsums (dE/dp_k = Ebasis_k is constant):
-    a jacfwd/vmap formulation of the same math compiles to thousands of tiny
-    unfused HLO ops and was the single hottest stage of the whole solver
-    (~13 ms of a 25 ms solve at B=1024 on TPU; this form is ~1 ms).
+    Structure-of-arrays form: every intermediate is one (..., R) array per
+    scalar component, Python-unrolled over the 3x3/constraint indices at
+    trace time. The previous einsum formulation carried (..., R, 3, 3, 3)
+    tensors whose minor dims pad to TPU's (8, 128) tile — ~2% utilization
+    and 9.2 ms at B=1024x10; this form is elementwise over the flat
+    hypothesis axis. Jacobians stay ANALYTIC (dE/dp_k = Ebasis_k constant):
+    a jacfwd/vmap formulation compiles to thousands of tiny unfused HLO ops.
     """
-    dE = Ebasis[..., None, :3, :, :]  # (..., 1, 3, 3, 3): dE/dx, dE/dy, dE/dz
-
-    def assemble(p):
-        coeffs = jnp.concatenate(
-            [p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1
-        )
-        return jnp.einsum("...rb,...bij->...rij", coeffs, Ebasis)
+    # basis components broadcast against the R axis: (..., 1) each
+    Bc = [
+        [[Ebasis[..., k, i, j, None] for j in range(3)] for i in range(3)]
+        for k in range(4)
+    ]
 
     def step(_, p):
-        E = assemble(p)  # (..., R, 3, 3)
-        Et = jnp.swapaxes(E, -1, -2)
-        EEt = E @ Et
-        tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
-        M = 2.0 * (EEt @ E) - tr[..., None, None] * E
-        detE = det3(E)
-        F = jnp.concatenate(
-            [detE[..., None], M.reshape(M.shape[:-2] + (9,))], axis=-1
-        )  # (..., R, 10)
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]  # (..., R)
+        e = [
+            [
+                Bc[0][i][j] * x + Bc[1][i][j] * y + Bc[2][i][j] * z
+                + Bc[3][i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        # EE^T (symmetric)
+        s = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for l in range(i, 3):
+                s[i][l] = s[l][i] = (
+                    e[i][0] * e[l][0] + e[i][1] * e[l][1] + e[i][2] * e[l][2]
+                )
+        tr = s[0][0] + s[1][1] + s[2][2]
+        M = [
+            [
+                2.0
+                * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
+                - tr * e[i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        detE = (
+            e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+            - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+            + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
+        )
+        # cofactor matrix (d det / dE_ij)
+        cof = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            for j in range(3):
+                j1, j2 = (j + 1) % 3, (j + 2) % 3
+                cof[i][j] = e[i1][j1] * e[i2][j2] - e[i1][j2] * e[i2][j1]
 
-        # analytic jacobian wrt p = (x, y, z); k indexes the basis matrix
-        cof = _adjugate_t(E)  # (..., R, 3, 3) = d det / dE
-        ddet = jnp.einsum("...ij,...kij->...k", cof, dE)  # (..., R, 3)
-        dEEt = jnp.einsum("...kil,...jl->...kij", dE, E)  # dE E^T
-        dEEt = dEEt + jnp.swapaxes(dEEt, -1, -2)  # + E dE^T
-        dtr = dEEt[..., 0, 0] + dEEt[..., 1, 1] + dEEt[..., 2, 2]
-        dM = (
-            2.0 * jnp.einsum("...kij,...jl->...kil", dEEt, E)
-            + 2.0 * jnp.einsum("...ij,...kjl->...kil", EEt, dE)
-            - dtr[..., None, None] * E[..., None, :, :]
-            - tr[..., None, None, None] * dE
-        )  # (..., R, 3, 3, 3)
-        J = jnp.concatenate(
-            [ddet[..., None, :],
-             dM.reshape(dM.shape[:-3] + (3, 9)).swapaxes(-1, -2)],
-            axis=-2,
-        )  # (..., R, 10, 3)
+        # Jacobian wrt p = (x, y, z); k indexes the basis matrix.
+        ddet = [None] * 3  # d det / dp_k
+        dM = [[[None] * 3 for _ in range(3)] for _ in range(3)]  # [k][i][j]
+        for k in range(3):
+            d = Bc[k]  # dE/dp_k, entries (..., 1)
+            ddet[k] = sum(
+                cof[i][j] * d[i][j] for i in range(3) for j in range(3)
+            )
+            # d(EE^T) = dE E^T + E dE^T (symmetric)
+            ds = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for l in range(i, 3):
+                    ds[i][l] = ds[l][i] = sum(
+                        d[i][j] * e[l][j] + e[i][j] * d[l][j]
+                        for j in range(3)
+                    )
+            dtr = ds[0][0] + ds[1][1] + ds[2][2]
+            for i in range(3):
+                for j in range(3):
+                    dM[k][i][j] = (
+                        2.0
+                        * (
+                            ds[i][0] * e[0][j]
+                            + ds[i][1] * e[1][j]
+                            + ds[i][2] * e[2][j]
+                            + s[i][0] * d[0][j]
+                            + s[i][1] * d[1][j]
+                            + s[i][2] * d[2][j]
+                        )
+                        - dtr * e[i][j]
+                        - tr * d[i][j]
+                    )
 
-        JtJ = jnp.einsum("...ri,...rj->...ij", J, J)
-        JtF = jnp.einsum("...ri,...r->...i", J, F)
-        JtJ = JtJ + 1e-8 * jnp.eye(3, dtype=p.dtype)
-        dp = solve_small(JtJ, JtF[..., None])[..., 0]
+        # normal equations: JtJ (3x3 symmetric), JtF (3,)
+        def dot_rows(ka, kb):
+            acc = ddet[ka] * ddet[kb]
+            for i in range(3):
+                for j in range(3):
+                    acc = acc + dM[ka][i][j] * dM[kb][i][j]
+            return acc
+
+        def dot_res(k):
+            acc = ddet[k] * detE
+            for i in range(3):
+                for j in range(3):
+                    acc = acc + dM[k][i][j] * M[i][j]
+            return acc
+
+        a00 = dot_rows(0, 0) + 1e-8
+        a11 = dot_rows(1, 1) + 1e-8
+        a22 = dot_rows(2, 2) + 1e-8
+        a01 = dot_rows(0, 1)
+        a02 = dot_rows(0, 2)
+        a12 = dot_rows(1, 2)
+        b0, b1, b2 = dot_res(0), dot_res(1), dot_res(2)
+        # closed-form 3x3 symmetric solve (cofactors / determinant)
+        c00 = a11 * a22 - a12 * a12
+        c01 = a02 * a12 - a01 * a22
+        c02 = a01 * a12 - a02 * a11
+        c11 = a00 * a22 - a02 * a02
+        c12 = a01 * a02 - a00 * a12
+        c22 = a00 * a11 - a01 * a01
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+        dx = (c00 * b0 + c01 * b1 + c02 * b2) * inv_det
+        dy = (c01 * b0 + c11 * b1 + c12 * b2) * inv_det
+        dz = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+        dp = jnp.stack([dx, dy, dz], axis=-1)
         dp = jnp.where(jnp.isfinite(dp), dp, jnp.zeros_like(dp))
         return p - dp
 
@@ -702,13 +846,26 @@ def _real_roots_poly10(a: jax.Array):
     )
 
     def peval(th):
-        # th: (..., S) broadcastable; returns (..., S)
+        # th: (..., R) — homogeneous evaluation, structure-of-arrays:
+        # powers built iteratively so every intermediate is (..., R)
         s, c = jnp.sin(th), jnp.cos(th)
-        sp = jnp.stack([s**k for k in range(11)], axis=-1)  # (..., S, 11)
-        cp = jnp.stack([c ** (10 - k) for k in range(11)], axis=-1)
-        return jnp.einsum("...sk,...k->...s", sp * cp, a)
+        sp = [jnp.ones_like(th)]
+        cp = [jnp.ones_like(th)]
+        for _ in range(10):
+            sp.append(sp[-1] * s)
+            cp.append(cp[-1] * c)
+        r = jnp.zeros_like(th)
+        for k in range(11):
+            r = r + a[..., k, None] * (sp[k] * cp[10 - k])
+        return r
 
-    g = peval(jnp.broadcast_to(theta, a.shape[:-1] + (_N_THETA_N,)))
+    # dense scan as ONE matmul against a trace-time-constant (11, S)
+    # monomial table — MXU work instead of per-batch transcendentals
+    th_np = np.linspace(-np.pi / 2, np.pi / 2, _N_THETA_N)
+    tbl = np.stack(
+        [np.sin(th_np) ** k * np.cos(th_np) ** (10 - k) for k in range(11)]
+    )  # (11, S)
+    g = a @ jnp.asarray(tbl, dtype)  # (..., S)
     sign = jnp.sign(g)
     flips = sign[..., :-1] * sign[..., 1:] < 0
 
@@ -769,7 +926,7 @@ def solve_5pt_nister(x1: jax.Array, x2: jax.Array):
     C = F @ _VINV_T_NISTER.astype(F.dtype)  # Nister monomial coefficients
     C_hi = C[..., :, :10]
     C_lo = C[..., :, 10:]
-    Bm = solve_small(C_hi, C_lo)  # (..., 10, 10): m_i = -Bm[i] . L
+    Bm = solve_small_lanes(C_hi, C_lo)  # (..., 10, 10): m_i = -Bm[i] . L
     okA = jnp.all(jnp.isfinite(Bm), axis=(-1, -2))
     Bm = jnp.where(okA[..., None, None], Bm, jnp.zeros_like(Bm))
 
