@@ -68,6 +68,9 @@ CSV_COLUMNS = (
     + [
         "nrCorrs_GT", "inlRat_GT", "nrCorrs_estimated", "inlRat_estimated",
         "poolSize", "poseIsStable", "mostLikelyPose_stable", "ransac_agg",
+        # UsacResults observability counters (USAC.h:18-60)
+        "usac_modelsGenerated", "usac_modelsRejected", "usac_pointsVerified",
+        "usac_loRefinements",
         "filtering_ms", "robEstimationAndRef_ms", "linRefinement_ms",
         "bundleAdjust_ms", "stereoRefine_ms",
     ]
@@ -112,7 +115,16 @@ def build_parser():
     p.add_argument("--matchData_idx", type=int, default=0,
                    help="accepted for parity (frame files are globbed)")
     p.add_argument("--ovf_ext", default="npz",
-                   help="frame file extension (reference: yaml/xml[.gz])")
+                   help="frame file extension: npz (native) or the "
+                        "reference's cv::FileStorage yaml/yml/xml[.gz] "
+                        "(SemiRealSequence sequSingleFrameData_* + "
+                        "matchSingleFrameData_* files)")
+    p.add_argument("--matches_path", default="",
+                   help="directory of matchSingleFrameData_* files when "
+                        "ovf_ext is a FileStorage format (default: "
+                        "sequ_path itself, then its first subdirectory "
+                        "containing such files — the reference nests them "
+                        "in a hash-named subdir, main.cpp:963-968)")
     p.add_argument("--output_path", default=".")
     p.add_argument("--v", type=int, default=0)
     p.add_argument("--addSequInfo", default="")
@@ -135,6 +147,8 @@ def build_parser():
     p.add_argument("--USACdegenTh", type=float, default=0.85)
     p.add_argument("--USACInlratFilt", type=int, default=0)
     p.add_argument("--compInitPose", action="store_true")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the untimed frame-0 JIT warm-up pass")
     common.add_stereo_refine_options(p)
     return p
 
@@ -145,8 +159,10 @@ def _angles_deg(R):
 
     from matchinglib_poselib_tpu.ops import geometry as geo
 
-    a = np.asarray(geo.angles_from_rot(jnp.asarray(R, jnp.float32)))
-    return np.degrees(a)
+    # angles_from_rot already returns degrees (ops/geometry.py) — no further
+    # conversion (a double np.degrees() here inflated every per-axis column
+    # 57.3x in the round-2 campaign CSVs).
+    return np.asarray(geo.angles_from_rot(jnp.asarray(R, jnp.float32)))
 
 
 def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
@@ -269,6 +285,10 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
         row["state"] = "single"
         row["nrCorrs_estimated"] = int(pose.n_inliers)
         row["inlRat_estimated"] = round(float(pose.inlier_ratio), 4)
+        row["usac_modelsGenerated"] = int(pose.n_models_generated)
+        row["usac_modelsRejected"] = int(pose.n_models_rejected)
+        row["usac_pointsVerified"] = int(pose.n_points_verified)
+        row["usac_loRefinements"] = int(pose.n_lo_refinements)
 
     if not args.noPoseDiff:
         tn_gt = t_GT / np.linalg.norm(t_GT)
@@ -294,6 +314,50 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
     return row
 
 
+_FS_EXTS = {"yaml", "yml", "xml", "yaml.gz", "yml.gz", "xml.gz"}
+
+
+def _filestorage_frames(args):
+    """Frame list for the reference's SemiRealSequence FileStorage layout.
+
+    sequ_path holds sequSingleFrameData_<n>.<ext> (camera params); the
+    matchSingleFrameData_<n>.<ext> files live beside them or in a
+    (hash-named) subdirectory (noMatch_poselib-test/main.cpp:963-968,
+    1522-1543). Returns a list of loader thunks.
+    """
+    from matchinglib_poselib_tpu.utils import opencv_fs
+
+    ext = args.ovf_ext.lower().lstrip(".")
+    root = pathlib.Path(args.sequ_path)
+    sequ = sorted(root.glob(f"sequSingleFrameData_*.{ext}"))
+    if not sequ:
+        raise SystemExit(f"no sequSingleFrameData_*.{ext} in {root}")
+    mdir = pathlib.Path(args.matches_path) if args.matches_path else None
+    if mdir is None:
+        if list(root.glob(f"matchSingleFrameData_*.{ext}")):
+            mdir = root
+        else:
+            for sub in sorted(p for p in root.iterdir() if p.is_dir()):
+                if list(sub.glob(f"matchSingleFrameData_*.{ext}")):
+                    mdir = sub
+                    break
+    if mdir is None:
+        raise SystemExit(f"no matchSingleFrameData_*.{ext} under {root}")
+
+    def make_loader(sp):
+        idx = sp.stem.split("_")[-1].split(".")[0]
+        mp = mdir / f"matchSingleFrameData_{idx}.{ext}"
+
+        def load():
+            cp = opencv_fs.read_cam_pars(sp)
+            sm = opencv_fs.read_matches(mp)
+            return opencv_fs.sequ_frame(cp, sm)
+
+        return load
+
+    return [make_loader(sp) for sp in sequ]
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
@@ -301,17 +365,23 @@ def main(argv=None):
     pose_args = argparse.Namespace(**vars(args))
     pose_cfg, kneip_iba = common.pose_config(pose_args)
 
-    frames = sorted(
-        pathlib.Path(args.sequ_path).glob(f"frame_*.{args.ovf_ext}")
-    )
+    if args.ovf_ext.lower().lstrip(".") in _FS_EXTS:
+        frames = _filestorage_frames(args)
+    else:
+        frames = sorted(
+            pathlib.Path(args.sequ_path).glob(f"frame_*.{args.ovf_ext}")
+        )
     if not frames:
         raise SystemExit(f"no frame_*.{args.ovf_ext} in {args.sequ_path}")
+
+    def load_frame(fp):
+        return fp() if callable(fp) else dict(np.load(fp))
 
     stereo_ref = None
     if args.stereoRef:
         from matchinglib_poselib_tpu.models.stereo_refine import StereoRefine
 
-        first = np.load(frames[0])
+        first = load_frame(frames[0])
         stereo_ref = StereoRefine(
             first["K1"], first["K2"],
             cfg=common.stereo_refine_config(args, pose_cfg, kneip_iba),
@@ -322,11 +392,33 @@ def main(argv=None):
     csv_path = out / "results.csv"
     key = jax.random.PRNGKey(0)
     accum: list = []
+
+    # Warm-up: run frame 0 once through a throwaway evaluation so JIT
+    # compilation does not pollute the stage-timing columns of the real run
+    # (round-2 CSVs had robEstimationAndRef_ms=130038 on row 0). All jitted
+    # entry points are module-level, so a scratch StereoRefine instance
+    # shares the compile cache with the real one.
+    if not args.no_warmup:
+        warm_ref = None
+        if stereo_ref is not None:
+            from matchinglib_poselib_tpu.models.stereo_refine import (
+                StereoRefine,
+            )
+
+            first = load_frame(frames[0])
+            warm_ref = StereoRefine(
+                first["K1"], first["K2"],
+                cfg=common.stereo_refine_config(args, pose_cfg, kneip_iba),
+            )
+        evaluate_frame(
+            load_frame(frames[0]), pose_cfg, warm_ref, args,
+            jax.random.fold_in(key, 0), 0, accum=None,
+        )
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=CSV_COLUMNS, delimiter=";")
         w.writeheader()
         for i, fp in enumerate(frames):
-            frame = dict(np.load(fp))
+            frame = load_frame(fp)
             row = evaluate_frame(
                 frame, pose_cfg, stereo_ref, args,
                 jax.random.fold_in(key, i), i, accum=accum,

@@ -132,6 +132,14 @@ def main(argv=None):
                 "inlier_ratio": round(float(pose.inlier_ratio), 4),
                 "degenerate": bool(pose.is_degenerate),
             }
+            if args.v > 0:
+                # UsacResults counter parity (USAC.h:18-60)
+                rec["usac"] = {
+                    "models_generated": int(pose.n_models_generated),
+                    "models_rejected": int(pose.n_models_rejected),
+                    "points_verified": int(pose.n_points_verified),
+                    "lo_refinements": int(pose.n_lo_refinements),
+                }
 
         if args.compInitPose and not args.noPoseDiff:
             rd, td, tdist = geo.compare_poses(

@@ -163,6 +163,12 @@ class RefinementConfig:
     iterations: int = 10
     th_multiplier: float = 2.0  # start threshold = m * th
     inlier_loss_guard: bool = True
+    # final (R,t)-manifold Gauss-Newton Sampson polish after pose recovery
+    # (the decisive accuracy step on real data: Levenberg-Marquardt over the
+    # 5-DOF pose, the TPU equivalent of the reference's nonlinear post-
+    # refinement; see refine.polish_pose_sampson)
+    polish_rt: bool = True
+    polish_iterations: int = 12
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,12 @@ class PoseResult(NamedTuple):
     points3d: jax.Array  # (K, 3) triangulated points (camera-1 frame)
     valid3d: jax.Array  # (K,) cheirality mask
     is_degenerate: jax.Array  # bool flag from degeneracy analysis
+    # UsacResults observability counters (USAC.h:18-60; zeros on the Halign
+    # branch, which runs no hypothesize-and-verify loop)
+    n_models_generated: jax.Array = 0
+    n_models_rejected: jax.Array = 0
+    n_points_verified: jax.Array = 0
+    n_lo_refinements: jax.Array = 0
 
 
 @functools.partial(
@@ -299,6 +305,25 @@ def estimate_pose(
 
     R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(jnp.float32))
 
+    if cfg.refine.polish_rt:
+        # final 5-DOF (R,t)-manifold LM Sampson polish on the model inliers
+        # — the accuracy-decisive step on real data (cuts KITTI t_ang from
+        # ~2.8 deg to the OpenCV-USAC level; see PARITY_ACCURACY.md)
+        pol = refine.polish_pose_sampson(
+            R, t, x1, x2, inl.astype(jnp.float32), res.threshold,
+            iterations=cfg.refine.polish_iterations,
+        )
+        # guard: keep only if the polished model retains the support
+        err_p = geo.sampson_error(pol.E, x1, x2)
+        inl_p = (err_p < res.threshold) & mask.astype(bool)
+        keep = jnp.sum(inl_p) >= (jnp.sum(inl) * 3) // 4
+        R = jnp.where(keep, pol.R, R)
+        t = jnp.where(keep, pol.t, t)
+        E = jnp.where(keep, pol.E, E)
+        inl = jnp.where(keep, inl_p, inl)
+        # re-triangulate from the polished pose
+        _, X, ok3d = geo.cheirality_counts(R, t, x1, x2, inl)
+
     if cfg.ba.enabled:
         # BART semantics (poselib-test --BART=1 -> refineStereoBA,
         # pose_estim.cpp:1083): BA on the triangulated inliers, restore
@@ -329,6 +354,10 @@ def estimate_pose(
         points3d=X,
         valid3d=ok3d,
         is_degenerate=degen_flag,
+        n_models_generated=getattr(res, "n_models_generated", 0),
+        n_models_rejected=getattr(res, "n_models_rejected", 0),
+        n_points_verified=getattr(res, "n_points_verified", 0),
+        n_lo_refinements=getattr(res, "n_lo_refinements", 0),
     )
 
 

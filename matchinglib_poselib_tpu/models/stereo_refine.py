@@ -89,7 +89,7 @@ class FrameResult(NamedTuple):
 )
 def _pose_from_set(
     x1, x2, mask, quality, th_sq, robust_cfg, refine_cfg, ba_cfg,
-    kneip_iba, max_dist_z, key,
+    kneip_iba, max_dist_z, key, sprt_prior=None,
 ):
     """Robust E + refinement + pose recovery (+ Kneip-instead-BA / BA) on
     one (padded) correspondence set.
@@ -99,9 +99,14 @@ def _pose_from_set(
     Kneip's eigensolver as the BA substitute (:1593-1650, falling back to
     BA / weighted Stewenius on failure :1651-1695) or BA (:1697-1724),
     with far 3D points (z > maxDist3DPtsZ) excluded from BA.
+
+    sprt_prior: optional inlier-ratio prior from the streaming SPRT
+    delta/epsilon history (pose_estim.cpp:1754-1761 static history) — it
+    bounds the hypothesis budget of the robust engine.
     """
     res, _ = robust.estimate_essential_robust(
-        x1, x2, mask, quality, robust_cfg, key, threshold_sq=th_sq
+        x1, x2, mask, quality, robust_cfg, key, threshold_sq=th_sq,
+        prior_inlier_ratio=sprt_prior,
     )
     E = res.model
     inl = res.inlier_mask
@@ -113,6 +118,24 @@ def _pose_from_set(
         E = jnp.where(keep, rres.model, E)
         inl = jnp.where(keep, rres.inlier_mask, inl)
     R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(x1.dtype))
+
+    if refine_cfg.polish_rt:
+        # 5-DOF LM Sampson polish (see pipeline.estimate_pose) — the
+        # accuracy-decisive final step, applied in streaming mode too
+        pol = refine.polish_pose_sampson(
+            R, t, x1, x2, inl.astype(x1.dtype), res.threshold,
+            iterations=refine_cfg.polish_iterations,
+        )
+        err_p = geo.sampson_error(pol.E, x1, x2)
+        inl_p = (err_p < res.threshold) & mask.astype(bool)
+        keep_p = jnp.sum(inl_p) >= (jnp.sum(inl) * 3) // 4
+        R = jnp.where(keep_p, pol.R, R)
+        t = jnp.where(keep_p, pol.t, t)
+        E = jnp.where(keep_p, pol.E, E)
+        inl = jnp.where(keep_p, inl_p, inl)
+        X = geo.triangulate_linear(R, t, x1, x2)
+        z2 = (X @ R.T + t)[:, 2]
+        ok3d = (X[:, 2] > 0) & (z2 > 0)
 
     kneip_ok = jnp.asarray(False)
     if kneip_iba:
@@ -286,6 +309,14 @@ class StereoRefine:
         # per-estimation (mean, std) of sqrt-Sampson over new-pair inliers
         # (errorStatistic_history, :858)
         self.err_stat_history: list[tuple[float, float]] = []
+        # SPRT epsilon/delta static history over the last 20 estimations
+        # (pose_estim.cpp:1754-1761,1809-1976; pose_helper.cpp:2830,2879):
+        # entries (epsilon = accepted inlier ratio, delta = fraction of
+        # points consistent with rejected/bad models). The epsilon mean
+        # feeds the robust engine's hypothesis-budget prior; cleared on
+        # full reinit (the rig changed, the statistics no longer apply).
+        self.sprt_history: list[tuple[float, float]] = []
+        self._last_delta = 0.05
         # rating per pose from getNearToMeanPose; most-likely winner indices
         self.pose_ratings: list[float] = []
         self.most_likely_idxs: list[int] = []
@@ -336,15 +367,51 @@ class StereoRefine:
             )
         return rc
 
+    def _sprt_prior(self):
+        """Inlier-ratio prior from the 20-frame SPRT history, or None.
+
+        Mirrors the SPRT_DELTA/EPSILON_AUTOM_INIT static-history path
+        (pose_estim.cpp:1809-1976): at least 3 valid entries are required;
+        the prior is the epsilon mean damped toward its minimum by the
+        delta spread (unstable histories yield a weaker prior).
+        """
+        if len(self.sprt_history) < 3:
+            return None
+        eps = np.asarray([e for e, _ in self.sprt_history])
+        dlt = np.asarray([d for _, d in self.sprt_history])
+        spread = float(np.std(eps) + np.std(dlt))
+        prior = float(np.mean(eps)) - spread
+        return float(np.clip(prior, 0.05, 0.95))
+
+    def _push_sprt(self, eps: float, delta: float):
+        self.sprt_history.append((float(eps), float(delta)))
+        if len(self.sprt_history) > 20:
+            self.sprt_history = self.sprt_history[-20:]
+
     def _frame_pose(self, x1, x2, mask, quality, n_matches: int):
         """robustPoseEstimation on the new frame with the per-frame configs."""
-        return _pose_from_set(
+        prior = self._sprt_prior()
+        out = _pose_from_set(
             x1, x2, mask, quality, self.th_sq,
             self._robust_cfg(n_matches),
             self.cfg.pose.refine, self.cfg.pose.ba,
             self.cfg.kneip_instead_ba, self.max_dist_z,
             self._next_key(),
+            sprt_prior=None if prior is None else jnp.asarray(
+                prior, jnp.float32
+            ),
         )
+        E, R, t, inl, ratio = out
+        # delta analogue: fraction of points that fit the PREVIOUS pose but
+        # not the new one (points a bad/stale model explains)
+        if self.nr_estimation > 0:
+            err_prev = geo.sampson_error(
+                jnp.asarray(self.E, jnp.float32), x1, x2
+            )
+            prev_ok = (err_prev < self.th_sq) & mask.astype(bool)
+            stale = jnp.sum(prev_ok & jnp.logical_not(inl))
+            self._last_delta = float(stale) / max(float(jnp.sum(mask)), 1.0)
+        return out
 
     def _seed_pool(self, pts1, pts2, x1, x2, inl, desc_dist, response):
         """Replace the pool contents with the inliers of a fresh pose."""
@@ -443,11 +510,25 @@ class StereoRefine:
         cog = pts[valid].mean(axis=0)
         dist = np.linalg.norm(pts - cog, axis=1)
         best = int(np.argmin(dist))
+        max_d = dist.max() + np.linalg.norm(cog) * 0.0075
+        # winner hysteresis: when the history tightens (all poses nearly
+        # identical — the normal case once the LM polish converges the
+        # stream), argmin flickers among near-ties and the most-likely
+        # persistence check (:3178) can never see m equal indices. Keep
+        # the previous winner while its rating is within the ranking
+        # stability band of the best.
+        if self.most_likely_idxs:
+            prev = self.most_likely_idxs[-1]
+            if (
+                0 <= prev < n_p
+                and (dist[prev] - dist[best]) / max(max_d, 1e-12)
+                <= self.cfg.abs_th_ranking_stable
+            ):
+                best = prev
         self.R_most_likely = self.pose_history[best][0].copy()
         self.t_most_likely = self.pose_history[best][1].copy()
         self.most_likely_idxs.append(best)
-        max_dist = dist.max() + np.linalg.norm(cog) * 0.0075
-        self.pose_ratings = list(1.0 - dist / max(max_dist, 1e-12))
+        self.pose_ratings = list(1.0 - dist / max(max_d, 1e-12))
         return 0
 
     def _check_pose_stability(self):
@@ -622,6 +703,11 @@ class StereoRefine:
     # -- state-machine branches ----------------------------------------------
 
     def _result(self, state: str, ratio: float) -> FrameResult:
+        # every accepted estimation feeds the SPRT static history (the
+        # reference updates delta/epsilon per estimation in streaming mode,
+        # pose_estim.cpp:1754-1761); skips/rejections carry no statistics
+        if state in ("init", "refined", "robust", "reinit"):
+            self._push_sprt(float(ratio), self._last_delta)
         return FrameResult(
             state=state,
             R=self.R.copy(), t=self.t.copy(), E=self.E.copy(),

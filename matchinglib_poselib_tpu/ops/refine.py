@@ -159,3 +159,116 @@ def refine_essential_linear(
         n_inl.astype(err.dtype), 1.0
     )
     return RefineResult(model=E, inlier_mask=inl, n_inliers=n_inl, mean_sampson=mean)
+
+
+def _exp_so3(w: jax.Array) -> jax.Array:
+    """Rodrigues: rotation vector (3,) -> rotation matrix (3, 3)."""
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    K = geo.skew(w / th)
+    # Taylor-safe coefficients for tiny angles
+    s = jnp.where(th2 > 1e-12, jnp.sin(th), th)
+    c1 = jnp.where(th2 > 1e-12, 1.0 - jnp.cos(th), 0.5 * th2)
+    return jnp.eye(3, dtype=w.dtype) + s * K + c1 * (K @ K)
+
+
+def _t_basis(t: jax.Array) -> jax.Array:
+    """Orthonormal (3, 2) basis of the tangent plane of the unit sphere at t."""
+    e = jax.nn.one_hot(jnp.argmin(jnp.abs(t)), 3, dtype=t.dtype)
+    b1 = jnp.cross(t, e)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t, b1)
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2), 1e-12)
+    return jnp.stack([b1, b2], axis=-1)
+
+
+class PolishResult(NamedTuple):
+    R: jax.Array  # (3, 3)
+    t: jax.Array  # (3,) unit
+    E: jax.Array  # (3, 3)
+    cost: jax.Array  # final robust mean cost
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def polish_pose_sampson(
+    R: jax.Array,
+    t: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    weights: jax.Array,
+    threshold_sq: jax.Array,
+    iterations: int = 12,
+) -> PolishResult:
+    """Levenberg-Marquardt Sampson polish over the 5-DOF (R, t) manifold.
+
+    The decisive final-accuracy step (reference analogue: the nonlinear
+    refinement the reference reaches through refineEssentialLinear +
+    eigensolver polish, pose_linear_refinement.cpp:85-640): minimize the
+    Huber-robustified signed Sampson distance over rotation (so(3) tangent)
+    and translation direction (unit-sphere tangent), re-linearized about
+    the current pose each iteration. All control flow is a fixed-iteration
+    ``lax.fori_loop`` with accept/reject damping — one compiled program,
+    no data-dependent shapes.
+
+    weights: (N,) per-point weights (inlier mask as float, optionally
+    quality-scaled). threshold_sq: squared normalized threshold used for
+    the Huber scale.
+    """
+    dtype = x1.dtype
+    # scale residuals to O(1): signed Sampson L1 divided by the threshold
+    th_l1 = jnp.sqrt(jnp.maximum(jnp.asarray(threshold_sq, dtype), 1e-18))
+    inv_s = 1.0 / th_l1
+    w_in = weights.astype(dtype)
+    n_w = jnp.maximum(jnp.sum(w_in), 1.0)
+
+    def signed_sampson(Rc, tc):
+        E = geo.skew(tc) @ Rc
+        num, Ex1, Etx2 = geo.epipolar_products(E, x1, x2)
+        den = jnp.sqrt(
+            Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
+            + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+        )
+        return num / jnp.maximum(den, 1e-12) * inv_s
+
+    def robust_cost(r):
+        # pseudo-Huber with delta = 1 (the threshold, in scaled units)
+        return jnp.sum(w_in * 2.0 * (jnp.sqrt(1.0 + r * r) - 1.0)) / n_w
+
+    def step(carry, _):
+        Rc, tc, cost, lam = carry
+        B = _t_basis(tc)
+
+        def resid(p):
+            Rn = Rc @ _exp_so3(p[:3])
+            tn = tc + B @ p[3:]
+            tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+            r = signed_sampson(Rn, tn)
+            # IRLS sqrt-weights: Huber influence clipped at delta = 1
+            wr = jnp.sqrt(
+                w_in / jnp.sqrt(1.0 + jax.lax.stop_gradient(r) ** 2)
+            )
+            return r * wr
+
+        p0 = jnp.zeros(5, dtype)
+        r0 = resid(p0)
+        J = jax.jacfwd(resid)(p0)  # (N, 5)
+        H = J.T @ J
+        g = J.T @ r0
+        D = jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(5, dtype=dtype)
+        delta = jnp.linalg.solve(H + lam * D, -g)
+        R_new = Rc @ _exp_so3(delta[:3])
+        t_new = tc + B @ delta[3:]
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
+        cost_new = robust_cost(signed_sampson(R_new, t_new))
+        ok = jnp.isfinite(cost_new) & (cost_new < cost)
+        Rc = jnp.where(ok, R_new, Rc)
+        tc = jnp.where(ok, t_new, tc)
+        cost = jnp.where(ok, cost_new, cost)
+        lam = jnp.where(ok, lam * 0.33, lam * 4.0)
+        return (Rc, tc, cost, lam), None
+
+    cost0 = robust_cost(signed_sampson(R, t))
+    (Rf, tf, costf, _), _ = jax.lax.scan(
+        step, (R, t, cost0, jnp.asarray(1e-3, dtype)), None, length=iterations
+    )
+    return PolishResult(R=Rf, t=tf, E=geo.skew(tf) @ Rf, cost=costf)

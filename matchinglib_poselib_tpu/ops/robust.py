@@ -170,6 +170,13 @@ class RobustResult(NamedTuple):
     threshold: jax.Array  # (possibly inflated) squared threshold actually used
     n_batches: jax.Array  # batches executed by the while_loop
     n_hypotheses: jax.Array  # total models scored (UsacResults.hyp_count parity)
+    # UsacResults observability parity (USAC.h:18-60). The dense batched
+    # engine has no per-point SPRT, so "verified" counts every
+    # (valid model x valid point) residual evaluation.
+    n_models_generated: jax.Array = 0  # solver outputs incl. invalid solves
+    n_models_rejected: jax.Array = 0  # invalid solves (prevalidation analogue)
+    n_points_verified: jax.Array = 0  # residuals evaluated = valid models * N_valid
+    n_lo_refinements: jax.Array = 0  # accepted LO re-fits (lo_numRefinements)
 
 
 # ---------------------------------------------------------------------------
@@ -311,14 +318,15 @@ def ransac(
             models, mvalid, family.error, x1, x2, maskb, th_sq, lmeds
         )
         best = jnp.argmax(score)
-        return models[best], score[best], counts[best]
+        n_rejected = jnp.sum(jnp.logical_not(mvalid)).astype(jnp.int32)
+        return models[best], score[best], counts[best], n_rejected
 
     def cond(state):
-        i, best_score, best_count, _, th_sq, done = state
+        i, best_score, best_count, _, th_sq, done, n_rej = state
         return (i < cfg.max_batches) & jnp.logical_not(done)
 
     def body(state):
-        i, best_score, best_count, best_model, th_sq, _ = state
+        i, best_score, best_count, best_model, th_sq, _, n_rej = state
         kb = jax.random.fold_in(key, i)
         # zero-inlier threshold inflation (USAC.h:355-364)
         if cfg.inflate_th_on_failure and not lmeds:
@@ -326,7 +334,8 @@ def ransac(
             at_two3 = (i == (2 * cfg.max_batches) // 3) & (best_count <= k)
             th_sq = jnp.where(at_half, th_sq * (1.33**2), th_sq)
             th_sq = jnp.where(at_two3, th_sq * (1.13**2), th_sq)
-        model, score, count = one_batch(i, th_sq, kb)
+        model, score, count, batch_rej = one_batch(i, th_sq, kb)
+        n_rej = n_rej + batch_rej
         better = score > best_score
         best_score = jnp.where(better, score, best_score)
         best_count = jnp.where(better, count, best_count)
@@ -354,7 +363,7 @@ def ransac(
             done = done | prior_ok
         if lmeds:
             done = jnp.asarray(False)
-        return (i + 1, best_score, best_count, best_model, th_sq, done)
+        return (i + 1, best_score, best_count, best_model, th_sq, done, n_rej)
 
     init = (
         jnp.asarray(0, jnp.int32),
@@ -363,9 +372,10 @@ def ransac(
         jnp.eye(3, dtype=x1.dtype),
         threshold_sq,
         jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
     )
-    i, best_score, best_count, best_model, th_sq, _ = jax.lax.while_loop(
-        cond, body, init
+    i, best_score, best_count, best_model, th_sq, _, n_rejected = (
+        jax.lax.while_loop(cond, body, init)
     )
 
     # final inlier classification
@@ -380,6 +390,7 @@ def ransac(
     inl = (err < th_out) & maskb
     n_inl = jnp.sum(inl).astype(jnp.int32)
     ratio = n_inl.astype(jnp.float32) / jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+    n_generated = i * B * family.models_per_sample
     return RobustResult(
         model=best_model,
         inlier_mask=inl,
@@ -388,7 +399,11 @@ def ransac(
         score=best_score,
         threshold=th_out,
         n_batches=i,
-        n_hypotheses=i * B * family.models_per_sample,
+        n_hypotheses=n_generated,
+        n_models_generated=n_generated,
+        n_models_rejected=n_rejected,
+        n_points_verified=(n_generated - n_rejected) * n_valid,
+        n_lo_refinements=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -414,7 +429,7 @@ def lo_refine_essential(
     th = result.threshold
 
     def body(_, carry):
-        model, inl, n_inl = carry
+        model, inl, n_inl, n_lo = carry
         err = geo.sampson_error(model, x1, x2)
         # pseudo-Huber weights on the current inliers
         b2 = jnp.maximum(th, 1e-20)
@@ -428,10 +443,13 @@ def lo_refine_essential(
         model = jnp.where(keep, E_new, model)
         inl = jnp.where(keep, inl_new, inl)
         n_inl = jnp.where(keep, n_new, n_inl)
-        return model, inl, n_inl
+        n_lo = n_lo + keep.astype(jnp.int32)
+        return model, inl, n_inl, n_lo
 
-    model, inl, n_inl = jax.lax.fori_loop(
-        0, iterations, body, (result.model, result.inlier_mask, result.n_inliers)
+    model, inl, n_inl, n_lo = jax.lax.fori_loop(
+        0, iterations, body,
+        (result.model, result.inlier_mask, result.n_inliers,
+         jnp.asarray(0, jnp.int32)),
     )
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return result._replace(
@@ -439,6 +457,7 @@ def lo_refine_essential(
         inlier_mask=inl,
         n_inliers=n_inl,
         inlier_ratio=n_inl.astype(jnp.float32) / n_valid,
+        n_lo_refinements=n_lo,
     )
 
 
@@ -454,6 +473,11 @@ class DegeneracyResult(NamedTuple):
     static_fraction: jax.Array  # fraction explained by no motion
     H: jax.Array  # (3, 3) dominant homography
     R_rotonly: jax.Array  # (3, 3) rotation-only model
+    # per-degeneracy-family inlier COUNTS (UsacResults degen_inlier counts,
+    # USAC.h:18-60): absolute support of each family on the E-inliers
+    h_inliers: jax.Array = 0
+    rot_inliers: jax.Array = 0
+    static_inliers: jax.Array = 0
 
 
 def rotation_only_model(x1, x2, weights):
@@ -559,6 +583,9 @@ def analyze_degeneracy(
         static_fraction=static_frac,
         H=hres.model,
         R_rotonly=R_ro,
+        h_inliers=hres.n_inliers,
+        rot_inliers=jnp.sum(rot_inl).astype(jnp.int32),
+        static_inliers=jnp.sum(static_inl).astype(jnp.int32),
     )
 
 

@@ -116,3 +116,17 @@ def synthetic_correspondences(rng, R, t, n, noise=0.0, outlier_frac=0.0,
         idx = rng.choice(n, n_out, replace=False)
         x2[idx] = rng.uniform(-0.6, 0.6, size=(n_out, 2))
     return x1, x2
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated XLA state across the suite.
+
+    A single-invocation full run used to segfault inside XLA CPU
+    compilation (backend_compile_and_load) after ~60-140 tests — an
+    accumulated-compilation-state crash, not attributable to any single
+    test (every module passes alone). Dropping compiled executables
+    between modules keeps the in-process LLVM/XLA footprint bounded.
+    """
+    yield
+    jax.clear_caches()

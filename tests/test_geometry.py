@@ -145,3 +145,24 @@ def test_closest_essential(rng):
     s = np.linalg.svd(np.asarray(Ec), compute_uv=False)
     assert abs(s[0] - s[1]) < 1e-4
     assert s[2] < 1e-5
+
+
+def test_per_axis_angles_consistent_with_rotation_angle(rng):
+    """Norm of per-axis Euler diffs ~ R_diffAll for small rotations.
+
+    Guards the noMatch CSV columns against unit bugs (round 2 shipped the
+    per-axis columns inflated 57.3x by a double degrees conversion).
+    """
+    from scipy.spatial.transform import Rotation
+
+    for _ in range(10):
+        # small random rotation (0.1-2 deg)
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(0.1, 2.0)
+        R = Rotation.from_rotvec(np.radians(ang) * axis).as_matrix()
+        euler = np.asarray(geo.angles_from_rot(jnp.asarray(R, jnp.float32)))
+        total = float(geo.rotation_angle(jnp.asarray(R, jnp.float32)))
+        total_deg = np.degrees(total)
+        # for small angles, |euler|_2 ~ rotation angle (within 5%)
+        assert abs(np.linalg.norm(euler) - total_deg) < 0.05 * total_deg + 1e-3

@@ -216,3 +216,37 @@ def test_8pt_family(rng):
     )
     assert float(res.inlier_ratio) > 0.5
     _check_pose(R, t, res.model, x1, x2, res.inlier_mask.astype(jnp.float32))
+
+
+def test_usac_observability_counters(rng):
+    """UsacResults counter parity (USAC.h:18-60): models generated/rejected,
+    points verified, LO count, per-degeneracy inlier counts."""
+    R, t, x1, x2, mask = _setup(rng)
+    cfg = RobustConfig(
+        batch_hypotheses=128, max_batches=4, threshold_px=0.002,
+        check_degeneracy=True,
+    )
+    res, degen = robust.estimate_essential_robust(
+        x1, x2, mask, jnp.ones_like(mask), cfg, jax.random.PRNGKey(0)
+    )
+    n_gen = int(res.n_models_generated)
+    n_rej = int(res.n_models_rejected)
+    n_ver = int(res.n_points_verified)
+    n_batches = int(res.n_batches)
+    # models generated = batches * B * models-per-sample (Nister 5pt -> 10)
+    assert n_gen == n_batches * 128 * 10
+    assert 0 <= n_rej <= n_gen
+    # dense engine verifies every valid point against every valid model
+    assert n_ver == (n_gen - n_rej) * int(jnp.sum(mask))
+    # LO ran and accepted at least one re-fit on this clean problem
+    assert 0 <= int(res.n_lo_refinements) <= cfg.lo_inner_iterations
+    # degeneracy family counts are consistent with their fractions
+    n_inl = max(int(res.n_inliers), 1)
+    assert int(degen.h_inliers) <= n_inl
+    np.testing.assert_allclose(
+        float(degen.rot_fraction), int(degen.rot_inliers) / n_inl, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(degen.static_fraction),
+        int(degen.static_inliers) / n_inl, atol=1e-5,
+    )

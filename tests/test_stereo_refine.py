@@ -461,3 +461,48 @@ class TestConfigBehaviors:
         src = inspect.getsource(srmod)
         for f in dc.fields(cfgmod.StereoRefineConfig):
             assert f.name in src, f"config field never read: {f.name}"
+
+
+class TestSprtHistory:
+    def test_sprt_history_builds_and_prior_tightens_budget(self, rng):
+        """SPRT delta/epsilon 20-frame static history (pose_estim.cpp:
+        1754-1761,1809-1976): streaming fills the history, the derived
+        epsilon prior matches the stream's inlier ratio, and feeding that
+        prior into the robust engine stops the hypothesis loop earlier
+        than the uninformed run."""
+        import jax
+
+        from matchinglib_poselib_tpu.ops import robust as rb
+
+        R, t = random_pose(rng, max_angle_deg=10.0)
+        sr = StereoRefine(K_CAM, K_CAM, cfg=make_cfg())
+        for i in range(8):
+            p1, p2 = gen_frame(rng, R, t)
+            sr.add_new_correspondences(p1, p2)
+        assert len(sr.sprt_history) >= 3
+        prior = sr._sprt_prior()
+        assert prior is not None
+        # stream runs at ~0.8 inlier ratio; prior must reflect it
+        assert 0.3 < prior < 0.95
+        # the prior bounds the hypothesis budget: same problem, same
+        # engine, fewer batches with the history prior
+        p1, p2 = gen_frame(rng, R, t)
+        x1 = jnp.asarray((p1 - K_CAM[:2, 2]) / np.diag(K_CAM)[:2],
+                         jnp.float32)
+        x2 = jnp.asarray((p2 - K_CAM[:2, 2]) / np.diag(K_CAM)[:2],
+                         jnp.float32)
+        mask = jnp.ones(len(p1), jnp.float32)
+        cfg = RobustConfig(batch_hypotheses=32, max_batches=8,
+                           confidence=0.9999, check_degeneracy=False)
+        key = jax.random.PRNGKey(3)
+        res_no, _ = rb.estimate_essential_robust(
+            x1, x2, mask, mask, cfg, key, threshold_sq=sr.th_sq
+        )
+        res_pr, _ = rb.estimate_essential_robust(
+            x1, x2, mask, mask, cfg, key, threshold_sq=sr.th_sq,
+            prior_inlier_ratio=jnp.asarray(prior, jnp.float32),
+        )
+        assert int(res_pr.n_batches) <= int(res_no.n_batches)
+        # full reinit clears the rig statistics
+        sr.reset()
+        assert sr.sprt_history == []
