@@ -214,6 +214,12 @@ def main():
         "batched8_speedup_vs_single": pairs_per_s / fps,
         "baseline_fps_measured_cpu": baseline_fps,
         "stages": stages,
+        "stages_note": (
+            "stages are timed as separate unfused jit programs (each pays "
+            "its own dispatch + missing cross-stage fusion), so their sum "
+            "can exceed total_fused_ms, which times the single fused "
+            "pipeline step the headline fps derives from"
+        ),
         **knn_stats,
     }
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=2))

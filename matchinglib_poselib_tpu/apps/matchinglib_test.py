@@ -82,6 +82,18 @@ def main(argv=None):
                 pts2=np.asarray(corr.pts2)[m],
                 distance=np.asarray(corr.distance)[m],
             )
+            if args.showNr != -3:
+                # headless storeMatches/showMatches parity
+                # (matchinglib-test/main.cpp:84,89): side-by-side match
+                # image; --showNr caps drawn matches (-3 disables)
+                from matchinglib_poselib_tpu.utils import visualize
+
+                img = visualize.draw_matches(
+                    np.asarray(img1), np.asarray(corr.pts1),
+                    np.asarray(img2), np.asarray(corr.pts2),
+                    mask=m, max_draw=args.showNr,
+                )
+                visualize.write_png(out_dir / f"matches_{i:04d}.png", img)
     print(
         json.dumps(
             {

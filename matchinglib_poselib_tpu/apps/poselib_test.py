@@ -163,12 +163,21 @@ def main(argv=None):
             r2 = rectify.rectified_image(
                 img2, K2, d2, rect.R2, rect.K_new2, img2.shape
             )
-            from PIL import Image
+            from matchinglib_poselib_tpu.utils import visualize
 
             for name, arr in (("rect_left", r1), ("rect_right", r2)):
-                Image.fromarray(
-                    (np.clip(np.asarray(arr), 0, 1) * 255).astype(np.uint8)
-                ).save(out_dir / f"{name}_{i:04d}.png")
+                visualize.write_png(
+                    out_dir / f"{name}_{i:04d}.png",
+                    (np.clip(np.asarray(arr), 0, 1) * 255).astype(np.uint8),
+                )
+            # ShowRectifiedImages parity (pose_helper.cpp:2636): stacked
+            # pair with epipolar scan lines for visual verification
+            visualize.write_png(
+                out_dir / f"rect_pair_{i:04d}.png",
+                visualize.draw_rectified_pair(
+                    np.asarray(r1), np.asarray(r2)
+                ),
+            )
 
     summary = {
         "frames": len(results),

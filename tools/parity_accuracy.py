@@ -8,6 +8,23 @@ matchers.cpp / five-point USAC), exactly as in tools/baseline_cpu.py:
 FAST(grid-capped 2048) + ORB + BF 2NN ratio 0.75 + findEssentialMat
 (USAC_DEFAULT, 0.8 px) + recoverPose.
 
+Fairness protocol (fixes round-2 weak #2, where the OpenCV side got
+distCoeffs=None while ours undistorted): BOTH stacks now undistort
+matched points with the calibration distortion coefficients. The OpenCV
+side maps points to normalized camera coordinates via
+cv2.undistortPoints (which handles the differing left/right K exactly),
+then runs findEssentialMat/recoverPose with K=I and the pixel threshold
+divided by the mean focal length — the same coordinate frame the
+reference's own pipeline uses (ImgToCamCoordTrans + Remove_LensDist,
+pose_helper.cpp:1100,1169 before estimateEssentialMat).
+
+Remaining (disclosed) protocol differences: the two stacks use their own
+matchers (BF 2NN ratio for OpenCV — the reference's non-GMbSOF default —
+vs GMBSOF for ours), so correspondence sets differ; neither side runs
+bundle adjustment; ours runs its default pose polish (Sampson LM), the
+OpenCV side runs USAC's built-in local optimization — each stack at its
+own defaults, as a user would run them.
+
 Both stacks run on every bundled KITTI stereo pair
 (source/tests/poselib-test/imgs/stereo) and are judged against the
 calibration extrinsics (the reference's own --compInitPose check,
@@ -47,7 +64,7 @@ def t_angle_deg(t1, t2):
     return float(a)
 
 
-def opencv_rows(pairs, K1, K2, R_gt, t_gt):
+def opencv_rows(pairs, K1, K2, dist1, dist2, R_gt, t_gt):
     import cv2
 
     from tools.baseline_cpu import grid_cap
@@ -55,6 +72,12 @@ def opencv_rows(pairs, K1, K2, R_gt, t_gt):
     detector = cv2.FastFeatureDetector_create(threshold=12)
     orb = cv2.ORB_create(nfeatures=N_KPTS)
     matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+    # Fair protocol: undistort to normalized camera coordinates (exact
+    # for differing left/right K), estimate with K=I and a threshold in
+    # normalized units — mirrors the reference's ImgToCamCoordTrans +
+    # Remove_LensDist preprocessing (pose_helper.cpp:1100,1169).
+    focal = 0.25 * (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1])
+    eye = np.eye(3)
     rows = []
     for img1, img2 in pairs:
         kp1 = grid_cap(detector.detect(img1, None), N_KPTS, img1.shape)
@@ -68,13 +91,17 @@ def opencv_rows(pairs, K1, K2, R_gt, t_gt):
         if len(good) >= 5:
             p1 = np.float64([kp1[m.queryIdx].pt for m in good])
             p2 = np.float64([kp2[m.trainIdx].pt for m in good])
+            p1n = cv2.undistortPoints(p1.reshape(-1, 1, 2), K1, dist1)
+            p2n = cv2.undistortPoints(p2.reshape(-1, 1, 2), K2, dist2)
+            p1n = p1n.reshape(-1, 2)
+            p2n = p2n.reshape(-1, 2)
             E, inl = cv2.findEssentialMat(
-                p1, p2, cameraMatrix1=K1, cameraMatrix2=K2,
-                distCoeffs1=None, distCoeffs2=None,
-                method=cv2.USAC_DEFAULT, prob=0.999, threshold=TH_PX,
+                p1n, p2n, eye,
+                method=cv2.USAC_DEFAULT, prob=0.999,
+                threshold=TH_PX / focal,
             )
             if E is not None and E.shape[0] >= 3:
-                _, R, t, _ = cv2.recoverPose(E[:3], p1, p2, K1, inl)
+                _, R, t, _ = cv2.recoverPose(E[:3], p1n, p2n, eye, inl)
                 row["rot"] = rot_angle_deg(R, R_gt)
                 row["tang"] = t_angle_deg(t, t_gt)
         rows.append(row)
@@ -138,7 +165,9 @@ def main():
          cv2.imread(str(b), cv2.IMREAD_GRAYSCALE))
         for a, b in zip(lefts, rights)
     ]
-    cvr = opencv_rows(pairs, K1, K2, R_gt, t_gt)
+    dist1 = np.asarray(calib.dist0, np.float64)
+    dist2 = np.asarray(calib.dist1, np.float64)
+    cvr = opencv_rows(pairs, K1, K2, dist1, dist2, R_gt, t_gt)
     our = ours_rows(len(pairs), R_gt, t_gt)
 
     lines = [
@@ -150,6 +179,17 @@ def main():
         "(FAST+ORB+BF ratio+USAC findEssentialMat+recoverPose); reference",
         "binaries are not buildable offline (BASELINE_MEASURED.json note).",
         "Generated by tools/parity_accuracy.py.",
+        "",
+        "Fairness protocol: BOTH stacks undistort matched points with the",
+        "calibration distortion coefficients (the OpenCV side via",
+        "cv2.undistortPoints to normalized coordinates with per-camera K,",
+        "then findEssentialMat/recoverPose at K=I with the threshold in",
+        "normalized units — the reference's own preprocessing,",
+        "pose_helper.cpp:1100,1169). Disclosed protocol differences: each",
+        "stack uses its own matcher (BF 2NN ratio vs GMBSOF), so the",
+        "correspondence sets differ; no bundle adjustment on either side;",
+        "ours runs its default Sampson-LM pose polish, OpenCV runs USAC's",
+        "built-in local optimization — each stack at its own defaults.",
         "",
         "| frame | ref matches | ref R_diff | ref t_ang "
         "| ours matches | ours R_diff | ours t_ang |",
