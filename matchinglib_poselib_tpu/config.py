@@ -168,7 +168,21 @@ class RefinementConfig:
     # 5-DOF pose, the TPU equivalent of the reference's nonlinear post-
     # refinement; see refine.polish_pose_sampson)
     polish_rt: bool = True
-    polish_iterations: int = 12
+    # LM converges in well under 8 steps per round from the warm starts the
+    # rounds provide (KITTI parity aggregates are bit-stable from 8 through
+    # 25 iterations; see PARITY_ACCURACY.md protocol)
+    polish_iterations: int = 8
+    # polish runs on a fixed-size compaction of the support (top slots by
+    # weight): LM cost is per-iteration op-latency bound, so shrinking the
+    # point set cuts the pose-stage time without accuracy loss (KITTI
+    # inlier counts are ~400-800, well under the cap)
+    polish_max_points: int = 1536
+    # polish/re-selection rounds: the polish converges onto its input
+    # inlier set's minimum; re-selecting support from all valid matches
+    # under the polished model and re-polishing reaches the joint
+    # pose+support fixed point (see refine.polish_pose_iterative — on
+    # KITTI, 1 round stops at ~1.3 deg t_ang, 3 rounds reach ~0.42 deg)
+    polish_rounds: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

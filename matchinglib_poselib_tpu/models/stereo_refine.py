@@ -120,14 +120,16 @@ def _pose_from_set(
     R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(x1.dtype))
 
     if refine_cfg.polish_rt:
-        # 5-DOF LM Sampson polish (see pipeline.estimate_pose) — the
-        # accuracy-decisive final step, applied in streaming mode too
-        pol = refine.polish_pose_sampson(
-            R, t, x1, x2, inl.astype(x1.dtype), res.threshold,
+        # 5-DOF LM Sampson polish + inlier re-selection rounds (see
+        # pipeline.estimate_pose) — the accuracy-decisive final step,
+        # applied in streaming mode too
+        pol, inl_p = refine.polish_pose_iterative(
+            R, t, x1, x2, inl.astype(x1.dtype), mask.astype(x1.dtype),
+            res.threshold,
+            rounds=refine_cfg.polish_rounds,
             iterations=refine_cfg.polish_iterations,
+            max_points=refine_cfg.polish_max_points,
         )
-        err_p = geo.sampson_error(pol.E, x1, x2)
-        inl_p = (err_p < res.threshold) & mask.astype(bool)
         keep_p = jnp.sum(inl_p) >= (jnp.sum(inl) * 3) // 4
         R = jnp.where(keep_p, pol.R, R)
         t = jnp.where(keep_p, pol.t, t)

@@ -128,6 +128,75 @@ def _knn2_kernel(binary: bool, bits: int, xy_mode: int):
     return kernel
 
 
+def _knn2_kernel_packed(bits: int, xy_mode: int):
+    """Packed binary kernel: one f32 carries (hamming, col_id).
+
+    For ±1 sign descriptors, bits - <s1, s2> = 2 * hamming is an even
+    integer in [0, 2*bits], so
+
+        combined = (bits - dot) * 16384 + col_id
+                 = hamming * 32768 + col_id
+
+    is exactly representable in f32 whenever bits <= 512 and col_id <
+    32768 (max value 2^24 + 2^15-1, within f32's 24-bit integer range —
+    col_id is a remainder mod 32768, untouched by the even-valued
+    hamming term). A single running min then yields both the best
+    distance AND its index with lowest-index tie-breaking for free. This
+    cuts the VPU work per distance from ~12 elementwise ops (separate
+    min/second-min/index selects of the general kernel below) to ~4,
+    which is the difference between 30% and ~2x that MXU utilization:
+    at D=256 the MXU contraction is only ~512 FLOPs per distance, so the
+    VPU post-processing, not the matmul, bounds the kernel.
+
+    The per-column constant bits*16384 + col_id (or a huge sentinel for
+    invalid columns) is precomputed on row 4 of the caux page, making the
+    in-kernel combine a single fused multiply-add.
+    """
+
+    def kernel(a_ref, bt_ref, caux_ref, qaux_ref, out_ref):
+        j = pl.program_id(1)
+        tn = a_ref.shape[0]
+        tm = bt_ref.shape[1]
+
+        dot = jnp.dot(
+            a_ref[:], bt_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        # caux row 4 = bits*16384 + global col id, or BIGC when invalid
+        combined = caux_ref[4:5, :] - dot * 16384.0
+        if xy_mode:
+            dx = qaux_ref[:, 0:1] - caux_ref[1:2, :]
+            dy = qaux_ref[:, 1:2] - caux_ref[2:3, :]
+            r2 = qaux_ref[:, 2:3] if xy_mode == 1 else caux_ref[3:4, :]
+            combined = jnp.where(
+                dx * dx + dy * dy <= r2, combined, combined + BIGC
+            )
+
+        m1 = jnp.min(combined, axis=1, keepdims=True)
+        m2 = jnp.min(
+            jnp.where(combined == m1, BIGC, combined), axis=1, keepdims=True
+        )
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.full((tn, _LANE), BIGC, jnp.float32)
+
+        r1 = out_ref[:, 0:1]
+        r2_ = out_ref[:, 1:2]
+        nm1 = jnp.minimum(r1, m1)
+        nm2 = jnp.minimum(jnp.maximum(r1, m1), jnp.minimum(r2_, m2))
+        pad = jnp.zeros((tn, _LANE - 2), jnp.float32)
+        out_ref[:] = jnp.concatenate([nm1, nm2, pad], axis=1)
+
+    return kernel
+
+
+_PACK = 16384.0  # combined = caux4 - dot * _PACK;  caux4 = bits*_PACK + col
+_PACK_COLS = 32768  # col-id field width (hamming lands on multiples of it)
+BIGC = 2.0 ** 27  # invalid/gated sentinel, past any packed value
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("binary", "bits", "xy_mode", "tn", "tm", "interpret"),
@@ -169,9 +238,25 @@ def knn2(
     a = jnp.zeros((n1p, dp), cdtype).at[:n1, :d].set(desc1)
     bt = jnp.zeros((dp, n2p), cdtype).at[:d, :n2].set(desc2.T)
 
-    # candidate-side page: row 0 penalty, rows 1..2 keypoint x, y
+    # packed fast path: binary descriptors whose (hamming, col) pair fits
+    # one exact f32 (see _knn2_kernel_packed)
+    packed = binary and n2p <= _PACK_COLS and bits <= 512
+
+    # candidate-side page: row 0 penalty, rows 1..2 keypoint x, y,
+    # row 4 packed per-column constant bits*16384 + col (packed path)
     caux = jnp.full((8, n2p), BIG, jnp.float32)
     caux = caux.at[0, :n2].set(jnp.where(valid2.astype(bool), 0.0, BIG))
+    if packed:
+        cols = jnp.arange(n2p, dtype=jnp.float32)
+        c4 = jnp.full((n2p,), BIGC, jnp.float32)
+        c4 = c4.at[:n2].set(
+            jnp.where(
+                valid2.astype(bool),
+                jnp.float32(bits) * _PACK + cols[:n2],
+                BIGC,
+            )
+        )
+        caux = caux.at[4, :].set(c4)
     if xy_mode:
         caux = caux.at[1, :n2].set(pts2[:, 0].astype(jnp.float32))
         caux = caux.at[2, :n2].set(pts2[:, 1].astype(jnp.float32))
@@ -189,7 +274,9 @@ def knn2(
 
     grid = (n1p // tn, n2p // tm)
     out = pl.pallas_call(
-        _knn2_kernel(binary, bits if binary else 0, xy_mode),
+        _knn2_kernel_packed(bits, xy_mode)
+        if packed
+        else _knn2_kernel(binary, bits if binary else 0, xy_mode),
         out_shape=jax.ShapeDtypeStruct((n1p, _LANE), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -220,6 +307,19 @@ def knn2(
         interpret=interpret,
     )(a, bt, caux, qaux)
 
+    if packed:
+        m1 = out[:n1, 0]
+        m2 = out[:n1, 1]
+        ok1 = m1 < BIGC
+        ham1 = jnp.floor(m1 / _PACK_COLS)
+        d_best = jnp.where(ok1, ham1, BIG)
+        d_second = jnp.where(
+            m2 < BIGC, jnp.floor(m2 / _PACK_COLS), BIG
+        )
+        idx = jnp.where(
+            ok1, (m1 - ham1 * _PACK_COLS).astype(jnp.int32), -1
+        )
+        return d_best, d_second, idx
     d_best = out[:n1, 0]
     d_second = out[:n1, 1]
     idx_f = out[:n1, 2]

@@ -272,3 +272,64 @@ def polish_pose_sampson(
         step, (R, t, cost0, jnp.asarray(1e-3, dtype)), None, length=iterations
     )
     return PolishResult(R=Rf, t=tf, E=geo.skew(tf) @ Rf, cost=costf)
+
+
+def polish_pose_iterative(
+    R: jax.Array,
+    t: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    inliers: jax.Array,
+    valid_mask: jax.Array,
+    threshold_sq: jax.Array,
+    rounds: int = 3,
+    iterations: int = 15,
+    max_points: int | None = None,
+) -> tuple[PolishResult, jax.Array]:
+    """Alternate Sampson LM polish with inlier re-selection to a fixed point.
+
+    The single-shot polish converges onto the minimum OF ITS INPUT inlier
+    set, which is the robust stage's — biased by the hypothesis that won
+    RANSAC. Re-selecting inliers from ALL valid correspondences under the
+    polished model and re-polishing walks both the pose and its support to
+    a joint fixed point (the reference reaches the same effect through its
+    iterative refineEssentialLinear + threshold schedule + final LO,
+    pose_linear_refinement.cpp:85-640 / usac estimator refinement). On the
+    bundled KITTI pairs this is the accuracy-decisive step: one round stops
+    at t_ang ~1.3 deg mean, three rounds reach ~0.42 deg — at/below the
+    OpenCV USAC reference workload (PARITY_ACCURACY.md).
+
+    inliers: (N,) float initial support; valid_mask: (N,) float validity of
+    the padded correspondence slots (re-selection is confined to it).
+    max_points: when set and < N, the LM rounds run on a fixed-size
+    compaction of the valid slots (valid inliers first) — the LM cost is
+    per-iteration latency bound, so shrinking the padded point set cuts
+    the pose-stage time; real valid-match counts sit well under the cap,
+    so the re-selection pool is preserved. The returned inlier mask is
+    always computed on the FULL input arrays under the final model.
+    Returns the final PolishResult and the final boolean inlier mask.
+    """
+    dtype = x1.dtype
+    valid = valid_mask.astype(bool)
+    n = x1.shape[0]
+
+    x1c, x2c = x1, x2
+    wc = inliers.astype(dtype)
+    validc = valid
+    if max_points is not None and max_points < n:
+        score = valid_mask.astype(dtype) + inliers.astype(dtype)
+        _, sel = jax.lax.top_k(score, max_points)
+        x1c, x2c = x1[sel], x2[sel]
+        wc = inliers.astype(dtype)[sel]
+        validc = valid[sel]
+
+    pol = None
+    for _ in range(rounds):
+        pol = polish_pose_sampson(
+            R, t, x1c, x2c, wc, threshold_sq, iterations=iterations
+        )
+        R, t = pol.R, pol.t
+        err = geo.sampson_error(pol.E, x1c, x2c)
+        wc = ((err < threshold_sq) & validc).astype(dtype)
+    err_full = geo.sampson_error(pol.E, x1, x2)
+    return pol, (err_full < threshold_sq) & valid

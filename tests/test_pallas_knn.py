@@ -106,3 +106,31 @@ def test_knn2_large_unaligned_shapes(rng):
     m = np.asarray(ref.mask)
     np.testing.assert_array_equal(np.asarray(out.mask), m)
     np.testing.assert_array_equal(np.asarray(out.idx)[m], np.asarray(ref.idx)[m])
+
+
+def test_knn2_packed_boundary_exactness(rng):
+    """Packed path: planted best/second-best at the last columns are exact.
+
+    The packed binary kernel encodes hamming * 32768 + col in one f32
+    (exact through col 32767); candidates planted at the two last columns
+    with distances 0 and 1 must come back with exact ids and distances.
+    """
+    bits = 256
+    n1, n2 = 8, 4000
+    signs1 = jnp.asarray(
+        rng.integers(0, 2, size=(n1, bits)) * 2.0 - 1.0, jnp.bfloat16
+    )
+    signs2 = jnp.asarray(
+        rng.integers(0, 2, size=(n2, bits)) * 2.0 - 1.0, jnp.bfloat16
+    )
+    signs2 = signs2.at[n2 - 1].set(signs1[0])
+    flipped = signs1[0].at[17].set(-signs1[0][17])
+    signs2 = signs2.at[n2 - 2].set(flipped)
+    valid = jnp.ones(n2, jnp.float32)
+
+    d1, d2, idx = knn.knn2(
+        signs1, signs2, valid, binary=True, bits=bits, interpret=True
+    )
+    assert int(idx[0]) == n2 - 1
+    assert float(d1[0]) == 0.0
+    assert float(d2[0]) == 1.0

@@ -19,11 +19,13 @@ reference's own pipeline uses (ImgToCamCoordTrans + Remove_LensDist,
 pose_helper.cpp:1100,1169 before estimateEssentialMat).
 
 Remaining (disclosed) protocol differences: the two stacks use their own
-matchers (BF 2NN ratio for OpenCV — the reference's non-GMbSOF default —
-vs GMBSOF for ours), so correspondence sets differ; neither side runs
-bundle adjustment; ours runs its default pose polish (Sampson LM), the
-OpenCV side runs USAC's built-in local optimization — each stack at its
-own defaults, as a user would run them.
+matchers (BF 2NN ratio for OpenCV vs the poselib-test defaults for ours:
+matcher "HNSW" — the exact 2-NN engine here — with subPixRef=1,
+poselib-test/main.cpp:593,1246), so correspondence sets differ; neither
+side runs bundle adjustment; ours runs its default pose polish
+(iterated Sampson LM + inlier re-selection), the OpenCV side runs
+USAC's built-in local optimization — each stack at its own defaults,
+as a user would run them.
 
 Both stacks run on every bundled KITTI stereo pair
 (source/tests/poselib-test/imgs/stereo) and are judged against the
@@ -132,9 +134,12 @@ def ours_rows(n_pairs, R_gt, t_gt):
     for i in range(n_pairs):
         i1 = jnp.asarray(io.load_image_gray(STEREO / f"left_{i:010d}.png"))
         i2 = jnp.asarray(io.load_image_gray(STEREO / f"right_{i:010d}.png"))
+        # poselib-test's own defaults: matcher = "HNSW" (main.cpp:1246 —
+        # routed to the exact 2-NN engine here, PARITY.md M13) and
+        # subpixel refinement ON (subPixRef = 1, main.cpp:593)
         corr = pipeline.get_correspondences(
             i1, i2, det, DescriptorConfig(kind="ORB"),
-            MatchingConfig(matcher_name="GMBSOF"),
+            MatchingConfig(matcher_name="HNSW", subpix_refine=True),
         )
         res = pipeline.estimate_pose(
             corr.pts1, corr.pts2, corr.mask, corr.quality,
@@ -186,7 +191,9 @@ def main():
         "then findEssentialMat/recoverPose at K=I with the threshold in",
         "normalized units — the reference's own preprocessing,",
         "pose_helper.cpp:1100,1169). Disclosed protocol differences: each",
-        "stack uses its own matcher (BF 2NN ratio vs GMBSOF), so the",
+        "stack uses its own matcher (BF 2NN ratio for OpenCV; the",
+        "poselib-test defaults for ours: matcher HNSW = the exact 2-NN",
+        "engine, subPixRef=1 — main.cpp:593,1246), so the",
         "correspondence sets differ; no bundle adjustment on either side;",
         "ours runs its default Sampson-LM pose polish, OpenCV runs USAC's",
         "built-in local optimization — each stack at its own defaults.",
