@@ -108,8 +108,15 @@ class MatchingConfig:
     # to the inlier ratio estimated from the ratio-test distribution
     sof_autoth: bool = True
     # strongest-keypoints-per-cell SOF-field initialization
-    # (get_Sparse_KeypointField, match_statOptFlow.cpp:5215)
-    sof_init_strongest: bool = True
+    # (get_Sparse_KeypointField, match_statOptFlow.cpp:5215). The
+    # reference restricts the field to the strongest keypoints to bound
+    # its per-seed field-building cost; our field statistics are dense
+    # masked reductions where extra seeds are free, and the measured
+    # effect of the restriction is purely a recall loss (GMBSOF_EVAL.md:
+    # 3478 correct @ 0.939 precision with ALL ratio-test seeds vs 3358 @
+    # 0.935 restricted) — so the data-driven default is OFF, a documented
+    # divergence from the reference's default
+    sof_init_strongest: bool = False
     sof_init_per_cell: int = 32
     # VFC filter (vfc.cpp)
     vfc_filter: bool = False

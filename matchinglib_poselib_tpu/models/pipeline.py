@@ -159,6 +159,20 @@ def get_correspondences(
             validation_th=vth,
         )
         pred, rad = filters.sof_predict(field, kps1.xy, match_cfg.sof_grid_px)
+        # sparse-seed fallback: where the query's grid cell never
+        # validated (too few seed matches per cell — the scale-warp
+        # regime, GMBSOF_EVAL.md), predict from the k nearest seed
+        # matches instead of the interpolated grid, so guided matching
+        # still constrains the search instead of degenerating to the
+        # plain ratio pass
+        predk, radk, okk = filters.sof_predict_knn(
+            pts1, pts2 - pts1, init_mask, kps1.xy
+        )
+        use_knn = ~filters.sof_cell_valid_at(
+            field, kps1.xy, match_cfg.sof_grid_px
+        ) & okk
+        pred = jnp.where(use_knn[:, None], predk, pred)
+        rad = jnp.where(use_knn, radk, rad)
         res = matching.match_descriptors(
             d1, d2, kps1.mask, kps2.mask,
             binary=binary,

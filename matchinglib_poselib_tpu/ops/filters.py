@@ -438,6 +438,77 @@ def sof_spatial_penalty(
     return jnp.where(d2 <= (rad[:, None] ** 2), 0.0, 1e9)
 
 
+def sof_cell_valid_at(
+    field: SOFField, pts: jax.Array, cell_px: int
+) -> jax.Array:
+    """Whether each query point's (nearest) grid cell validated."""
+    gy, gx = field.radius.shape
+    cx = jnp.clip((pts[:, 0] / cell_px).astype(jnp.int32), 0, gx - 1)
+    cy = jnp.clip((pts[:, 1] / cell_px).astype(jnp.int32), 0, gy - 1)
+    return field.valid[cy, cx]
+
+
+def sof_predict_knn(
+    seed_pts1: jax.Array,
+    seed_flow: jax.Array,
+    seed_mask: jax.Array,
+    query_pts: jax.Array,
+    k: int = 8,
+    std_mult: float = 3.5,
+):
+    """Seed-kNN flow prediction: the sparse-seed fallback of the SOF field.
+
+    When the seed match set is too sparse for per-cell statistics (every
+    grid cell below min_per_cell — the scale-warp regime of
+    GMBSOF_EVAL.md, where the grid field is entirely invalid and guided
+    matching degenerates to plain ratio matching), predict each query's
+    flow from its k nearest seed matches instead: median flow of the
+    neighbors, search radius std_mult * (robust dispersion) grown with
+    the distance to the neighborhood (the reference grows radii with
+    distance-to-support the same way inside interpolStatOptFlow,
+    match_statOptFlow.cpp:2266 — this is that mechanism freed from the
+    grid). Dense masked top-k — no trees, TPU shapes static.
+
+    Returns (pred (N,2), rad (N,), ok (N,) bool — false when fewer than
+    3 seeds exist at all).
+    """
+    seedb = seed_mask.astype(bool)
+    n_seed = jnp.sum(seedb)
+    d2 = jnp.sum(
+        (query_pts[:, None, :] - seed_pts1[None, :, :]) ** 2, axis=-1
+    )
+    d2 = jnp.where(seedb[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)  # (N, k) nearest seeds
+    ndist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    nvalid = jnp.isfinite(neg)  # (N, k)
+    nflow = seed_flow[idx]  # (N, k, 2)
+
+    # per-query median flow over the valid neighbors (k is tiny: sort)
+    big = 1e9
+    fx = jnp.where(nvalid, nflow[..., 0], big)
+    fy = jnp.where(nvalid, nflow[..., 1], big)
+    nv = jnp.maximum(jnp.sum(nvalid, axis=1), 1)
+
+    def masked_med(v):  # (N, k) with invalid = big
+        s = jnp.sort(v, axis=1)
+        mid_hi = (nv - 1) // 2 + (nv - 1) % 2
+        mid_lo = (nv - 1) // 2
+        lo = jnp.take_along_axis(s, mid_lo[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(s, mid_hi[:, None], axis=1)[:, 0]
+        return 0.5 * (lo + hi)
+
+    med = jnp.stack([masked_med(fx), masked_med(fy)], axis=-1)  # (N, 2)
+    dev = jnp.linalg.norm(
+        jnp.where(nvalid[..., None], nflow - med[:, None, :], 0.0), axis=-1
+    )
+    sigma = 1.4826 * masked_med(jnp.where(nvalid, dev, big))
+    far = jnp.where(nvalid, ndist, 0.0).max(axis=1)
+    pred = query_pts + med
+    rad = std_mult * sigma + 4.0 + 0.15 * far
+    ok = jnp.broadcast_to(n_seed >= 3, (query_pts.shape[0],))
+    return pred, rad, ok
+
+
 def sof_filter_matches(
     pts1: jax.Array,
     pts2: jax.Array,

@@ -325,3 +325,43 @@ def test_sof_field_radius_grows_away_from_valid_cells(rng):
     assert valid[:, 0].any() and not valid[:, -1].any()
     # radius must increase monotonically-ish with distance from col 0
     assert rad[0, -1] > rad[0, 1]
+
+
+def test_sof_predict_knn_sparse_seed_fallback(rng):
+    """Seed-kNN prediction tracks a scale flow field no grid cell can.
+
+    A zoom about the image center gives every 100px cell too few seeds
+    to validate (20 seeds over a 6x8 grid): sof_predict_knn must still
+    predict each query's flow from its nearest seeds with a finite
+    radius that contains the true displacement.
+    """
+    shape = (600, 800)
+    cx, cy, s = 400.0, 300.0, 1.25
+    seeds = np.stack(
+        [rng.uniform(50, 750, 20), rng.uniform(50, 550, 20)], axis=1
+    ).astype(np.float32)
+    seed_flow = (seeds - [cx, cy]) * (s - 1.0)
+    queries = np.stack(
+        [rng.uniform(100, 700, 64), rng.uniform(100, 500, 64)], axis=1
+    ).astype(np.float32)
+    true_flow = (queries - [cx, cy]) * (s - 1.0)
+
+    pred, rad, ok = filters.sof_predict_knn(
+        jnp.asarray(seeds), jnp.asarray(seed_flow), jnp.ones(20),
+        jnp.asarray(queries),
+    )
+    assert bool(ok.all())
+    err = np.linalg.norm(np.asarray(pred) - (queries + true_flow), axis=1)
+    inside = err <= np.asarray(rad)
+    # the radius (MAD + distance growth) must cover the true target for
+    # the overwhelming majority of queries
+    assert inside.mean() > 0.9
+    assert np.isfinite(np.asarray(rad)).all()
+
+    # fewer than 3 seeds -> not ok
+    _, _, ok2 = filters.sof_predict_knn(
+        jnp.asarray(seeds), jnp.asarray(seed_flow),
+        jnp.zeros(20).at[0].set(1.0),
+        jnp.asarray(queries),
+    )
+    assert not bool(ok2.any())
