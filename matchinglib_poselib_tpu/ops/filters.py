@@ -136,6 +136,86 @@ def autoth_validation_th(inlier_ratio: jax.Array, binary: bool) -> jax.Array:
     return jnp.clip(r, 0.3, 0.75)
 
 
+def _partition_median(
+    vals: jax.Array, ckey: jax.Array, counts: jax.Array, starts: jax.Array,
+    C: int,
+):
+    """Per-cell median when cells PARTITION the points.
+
+    One lexicographic sort of the N (cell, value) pairs replaces the
+    (C, N) row-sorts of the dense masked formulation (each row of which
+    re-sorts the same N values under a different mask) — the profiler
+    showed those sorts costing ~0.9 ms/step in sof_statistics. ckey must
+    be the cell id with invalid points mapped to C; counts/starts the
+    per-cell sizes and exclusive prefix (shared across calls).
+    """
+    _, vs = jax.lax.sort((ckey, vals), num_keys=2)
+    n = counts
+    lo = jnp.clip(starts + jnp.maximum(n - 1, 0) // 2, 0, vals.shape[0] - 1)
+    hi = jnp.clip(
+        starts + jnp.maximum(n - 1, 0) // 2 + jnp.maximum(n - 1, 0) % 2,
+        0, vals.shape[0] - 1,
+    )
+    med = 0.5 * (jnp.take(vs, lo) + jnp.take(vs, hi))
+    return jnp.where(n > 0, med, jnp.zeros_like(med))
+
+
+def _partition_layout(cell: jax.Array, valid: jax.Array, C: int):
+    """(ckey, counts, starts) for _partition_median."""
+    ckey = jnp.where(valid, cell, C).astype(jnp.int32)
+    counts = jnp.bincount(ckey, length=C + 1)[:C]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    return ckey, counts, starts
+
+
+def _partition_moments(
+    vals: jax.Array, cell: jax.Array, valid: jax.Array, C: int,
+    trim: bool = True,
+):
+    """Per-cell (median, mean, std) over a partition; optional IQR trim.
+
+    Same statistics as _masked_moments (getStatisticfromVec,
+    match_statOptFlow.cpp:4302) computed with partition sorts + segment
+    sums instead of dense (C, N) masked row-sorts.
+    """
+    ckey, counts, starts = _partition_layout(cell, valid, C)
+    med = _partition_median(vals, ckey, counts, starts, C)
+    keep = valid
+    if trim:
+        dev = jnp.abs(vals - med[jnp.clip(cell, 0, C - 1)])
+        half = _partition_median(dev, ckey, counts, starts, C)
+        keep = valid & (dev <= half[jnp.clip(cell, 0, C - 1)] + 1e-6)
+    kf = keep.astype(jnp.float32)
+    seg = jnp.where(keep, cell, C).astype(jnp.int32)
+    n = jnp.maximum(
+        jax.ops.segment_sum(kf, seg, num_segments=C + 1)[:C], 1.0
+    )
+    s1 = jax.ops.segment_sum(vals * kf, seg, num_segments=C + 1)[:C]
+    mean = s1 / n
+    dv = vals - mean[jnp.clip(cell, 0, C - 1)]
+    s2 = jax.ops.segment_sum(dv * dv * kf, seg, num_segments=C + 1)[:C]
+    return med, mean, jnp.sqrt(s2 / n)
+
+
+def _partition_circ_moments(
+    ang: jax.Array, cell: jax.Array, valid: jax.Array, C: int,
+    trim: bool = True,
+):
+    """Circular per-cell moments over a partition (branch-cut hypotheses
+    as in _masked_circ_moments / getAngularStatistic)."""
+    a1 = jnp.mod(ang, _TWO_PI)
+    a2 = jnp.mod(ang + jnp.pi, _TWO_PI)
+    med1, mean1, std1 = _partition_moments(a1, cell, valid, C, trim)
+    med2, mean2, std2 = _partition_moments(a2, cell, valid, C, trim)
+    pick1 = std1 <= std2
+    med = jnp.where(pick1, med1, jnp.mod(med2 - jnp.pi, _TWO_PI))
+    mean = jnp.where(pick1, mean1, jnp.mod(mean2 - jnp.pi, _TWO_PI))
+    std = jnp.where(pick1, std1, std2)
+    return med, mean, std
+
+
 def _masked_moments(vals: jax.Array, member: jax.Array, trim: bool = True):
     """Per-row (median, mean, std) over masked entries; optional IQR trim.
 
@@ -285,16 +365,16 @@ def sof_statistics(
     cell = cy * gx + cx  # (N,)
 
     flow = pts2 - pts1  # (N, 2)
-    member = (cell[None, :] == jnp.arange(C)[:, None]) & maskb[None, :]  # (C, N)
-    n_cell = jnp.sum(member.astype(jnp.float32), axis=1)
+    # cells partition the points: per-cell statistics run on partition
+    # sorts + segment sums (N log N once) instead of dense (C, N) masked
+    # row-sorts (profiled at ~0.9 ms/step in the fused pipeline)
+    n_cell = _partition_layout(cell, maskb, C)[1].astype(jnp.float32)
 
     mag = jnp.linalg.norm(flow, axis=-1)  # (N,)
     ang = jnp.mod(jnp.arctan2(flow[:, 1], flow[:, 0]), _TWO_PI)  # (N,)
-    magb = jnp.broadcast_to(mag[None, :], (C, mag.shape[0]))
-    angb = jnp.broadcast_to(ang[None, :], (C, ang.shape[0]))
 
-    d_med, d_mean, d_std = _masked_moments(magb, member)
-    a_med, a_mean, a_std = _masked_circ_moments(angb, member)
+    d_med, d_mean, d_std = _partition_moments(mag, cell, maskb, C)
+    a_med, a_mean, a_std = _partition_circ_moments(ang, cell, maskb, C)
 
     # dual validation (distance + angle), per cell
     d_diff = jnp.abs(d_mean - d_med)
@@ -330,21 +410,18 @@ def sof_statistics(
         & (jnp.abs(mag - g_d_mean) <= 4.0 * g_d_std)
     )
     any_band = jnp.any(in_band & maskb)
-    member2 = member & jnp.where(any_band, in_band, maskb)[None, :]
-    n2 = jnp.sum(member2.astype(jnp.float32), axis=1)
+    valid2 = maskb & jnp.where(any_band, in_band, maskb)
+    ckey2, counts2, starts2 = _partition_layout(cell, valid2, C)
+    n2 = counts2.astype(jnp.float32)
 
     def cellwise_median(vals):  # vals (N,) -> (C,)
-        return geo.masked_median(
-            jnp.broadcast_to(vals[None, :], (C, vals.shape[0])), member2
-        )
+        return _partition_median(vals, ckey2, counts2, starts2, C)
 
     med_dx = cellwise_median(flow[:, 0])
     med_dy = cellwise_median(flow[:, 1])
-    dev = jnp.linalg.norm(
-        flow[None, :, :] - jnp.stack([med_dx, med_dy], axis=-1)[:, None, :],
-        axis=-1,
-    )
-    mad = geo.masked_median(dev, member2)
+    cmed = jnp.stack([med_dx, med_dy], axis=-1)  # (C, 2)
+    dev_pt = jnp.linalg.norm(flow - cmed[cell], axis=-1)  # (N,)
+    mad = cellwise_median(dev_pt)
     sigma = 1.4826 * mad  # robust sigma from the MAD
     # dispersion bound on the surviving members: a cell with a real
     # dominant flow has sigma far below the flow magnitude; uniform-random
@@ -478,7 +555,13 @@ def sof_predict_knn(
         (query_pts[:, None, :] - seed_pts1[None, :, :]) ** 2, axis=-1
     )
     d2 = jnp.where(seedb[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)  # (N, k) nearest seeds
+    # approx_max_k: the TPU-tiled top-k (exact top_k costs ~1 ms at
+    # 2048x2048 — the single most expensive op of the fused step when
+    # this fallback went in); a >=0.95-recall neighbor set is
+    # statistically indistinguishable for median/MAD flow statistics
+    neg, idx = jax.lax.approx_max_k(
+        -d2, k, recall_target=0.95
+    )  # (N, k) nearest seeds
     ndist = jnp.sqrt(jnp.maximum(-neg, 0.0))
     nvalid = jnp.isfinite(neg)  # (N, k)
     nflow = seed_flow[idx]  # (N, k, 2)

@@ -470,15 +470,41 @@ def cheirality_counts(R, t, x1, x2, mask, dist_thresh: float = 50.0):
     return jnp.sum(ok, axis=-1), X, ok
 
 
-def recover_pose(E, x1, x2, mask, dist_thresh: float = 50.0):
+def recover_pose(E, x1, x2, mask, dist_thresh: float = 50.0,
+                 vote_points: int | None = None):
     """Cheirality-voted pose from E (five-point.cpp:150 recoverPose).
 
     Returns (R, t, X, good_mask, votes): the winning pose, triangulated
     points in camera-1 frame, per-point cheirality mask, and the vote count.
+
+    vote_points: when set (unbatched call only) and smaller than N, the
+    4-fold candidate vote runs on a mask-weighted compaction of that many
+    points — the vote needs only a sample to be decisive — and only the
+    winning pose is triangulated at full N (4x less triangulation work on
+    padded 4096-point pipelines). The returned X/good_mask/votes are
+    always full-resolution for the winner.
     """
     R1, R2, t = decompose_essential(E)
     cands_R = jnp.stack([R1, R1, R2, R2], axis=-3)  # (..., 4, 3, 3)
     cands_t = jnp.stack([t, -t, t, -t], axis=-2)  # (..., 4, 3)
+    if (
+        vote_points is not None
+        and x1.ndim == 2
+        and vote_points < x1.shape[0]
+    ):
+        _, sel = jax.lax.top_k(mask.astype(x1.dtype), vote_points)
+        x1v, x2v, mv = x1[sel], x2[sel], mask[sel]
+        x1b = jnp.broadcast_to(x1v[None], (4,) + x1v.shape)
+        x2b = jnp.broadcast_to(x2v[None], (4,) + x2v.shape)
+        maskb = jnp.broadcast_to(mv[None], (4,) + mv.shape)
+        votes_s, _, _ = cheirality_counts(
+            cands_R, cands_t, x1b, x2b, maskb, dist_thresh
+        )
+        best = jnp.argmax(votes_s, axis=-1)
+        R = cands_R[best]
+        tt = cands_t[best]
+        nv, Xw, okw = cheirality_counts(R, tt, x1, x2, mask, dist_thresh)
+        return R, tt, Xw, okw, nv
     x1b = jnp.broadcast_to(x1[..., None, :, :], cands_R.shape[:-2] + x1.shape[-2:])
     x2b = jnp.broadcast_to(x2[..., None, :, :], cands_R.shape[:-2] + x2.shape[-2:])
     maskb = jnp.broadcast_to(mask[..., None, :], cands_R.shape[:-2] + mask.shape[-1:])

@@ -95,6 +95,19 @@ def refine_essential_linear(
     iters = cfg.iterations
     step = (m - 1.0) / max(iters, 1)
 
+    # IRLS rounds run on a fixed-size compaction of the starting band
+    # (same rationale as polish_pose_iterative: the 8pt refits are
+    # bound by the padded point count, real inlier counts sit well
+    # under the cap); the final classification below is on the FULL set
+    x1f, x2f, maskf = x1, x2, maskb
+    cap = cfg.refine_max_points
+    if cap is not None and cap < x1.shape[0]:
+        err_pre = geo.sampson_error(E0, x1, x2)
+        band_pre = (err_pre < m * threshold_sq) & maskb
+        score = band_pre.astype(x1.dtype) + maskb.astype(x1.dtype)
+        _, sel = jax.lax.top_k(score, cap)
+        x1, x2, maskb = x1[sel], x2[sel], maskb[sel]
+
     err0 = geo.sampson_error(E0, x1, x2)
     inl0 = (err0 < m * threshold_sq) & maskb
     n0 = jnp.sum(inl0).astype(jnp.int32)
@@ -152,8 +165,9 @@ def refine_essential_linear(
         )
         E = jnp.where(keep, kn.E, E)
         inl = jnp.where(keep, inl_k, inl)
-    err = geo.sampson_error(E, x1, x2)
-    inl = (err < threshold_sq) & maskb
+    # final classification on the FULL (uncompacted) correspondence set
+    err = geo.sampson_error(E, x1f, x2f)
+    inl = (err < threshold_sq) & maskf
     n_inl = jnp.sum(inl).astype(jnp.int32)
     mean = jnp.sum(err * inl.astype(err.dtype)) / jnp.maximum(
         n_inl.astype(err.dtype), 1.0
