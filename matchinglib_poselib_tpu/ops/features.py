@@ -73,29 +73,35 @@ def fast_score(img: jax.Array, threshold: float = 20.0 / 255.0) -> jax.Array:
     A pixel is a corner if >= 9 contiguous ring pixels are all brighter than
     c + t or all darker than c - t; the response is the sum of absolute
     differences over the qualifying arc (OpenCV's FAST score semantics).
-    Computed via 16 rolled copies of the image — pure VPU element-wise work.
+
+    Bandwidth-lean formulation (the naive one materialized f32 flag/score
+    stacks worth ~1 GB HBM per frame — the dominant bandwidth consumer of
+    the fused pipeline step): scores accumulate as relu sums directly (a
+    ring pixel contributes to the bright score iff diff > t, which is
+    exactly relu(diff - t) > 0 — no mask stacks), comparisons live as
+    1-byte preds, and the contiguous-arc test is a wrap-extended int8
+    cumulative sum (window-of-9 sum == 9). Bit-identical corner decisions
+    and scores to the direct formulation.
     """
     ring = jnp.stack(
         [_shift2d(img, int(dy), int(dx)) for dy, dx in _FAST_RING], axis=0
     )  # (16, H, W)
     diff = ring - img[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
+    # scores: sum over the qualifying polarity of |diff| - t == relu sums
+    score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
 
     def arc9(flags):
-        # contiguous run of >= 9 around the 16-ring: for each of 16 start
-        # positions check AND of 9 consecutive (wrap-around)
-        acc = jnp.zeros_like(flags[0], dtype=bool)
-        run = jnp.concatenate([flags, flags[:8]], axis=0)  # (24, H, W)
-        for s in range(16):
-            win = run[s : s + 9]
-            acc = acc | jnp.all(win, axis=0)
+        # run of >= 9 around the 16-ring via a 24-long cumulative sum:
+        # window [s, s+9) is all-true iff cum[s+9] - cum[s] == 9
+        ext = jnp.concatenate([flags, flags[:8]], axis=0).astype(jnp.int8)
+        cum = jnp.cumsum(ext, axis=0, dtype=jnp.int8)  # (24, H, W) <= 24
+        acc = cum[8] == jnp.int8(9)  # window [0, 9)
+        for s in range(1, 16):
+            acc = acc | (cum[s + 8] - cum[s - 1] == jnp.int8(9))
         return acc
 
-    is_corner = arc9(brighter) | arc9(darker)
-    mag = jnp.abs(diff) - threshold
-    score_b = jnp.sum(jnp.where(brighter, mag, 0.0), axis=0)
-    score_d = jnp.sum(jnp.where(darker, mag, 0.0), axis=0)
+    is_corner = arc9(diff > threshold) | arc9(diff < -threshold)
     score = jnp.maximum(score_b, score_d)
     return jnp.where(is_corner, score, 0.0)
 
