@@ -365,3 +365,49 @@ def test_sof_predict_knn_sparse_seed_fallback(rng):
         jnp.asarray(queries),
     )
     assert not bool(ok2.any())
+
+
+def test_partition_moments_match_dense_masked(rng):
+    """The partition-sort statistics must reproduce the dense masked ones.
+
+    sof_statistics switched from (C, N) masked row-sorts to partition
+    sorts + segment sums (one lexicographic sort of N values); this pins
+    the new machinery to the original formulation on random partitions,
+    including empty cells and IQR trimming.
+    """
+    N, C = 700, 12
+    vals = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    cell = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
+    valid = jnp.asarray(rng.random(N) > 0.15)
+    # leave cells 3 and 7 empty
+    valid = valid & (cell != 3) & (cell != 7)
+
+    member = (cell[None, :] == jnp.arange(C)[:, None]) & valid[None, :]
+    for trim in (False, True):
+        med_d, mean_d, std_d = filters._masked_moments(
+            jnp.broadcast_to(vals[None, :], (C, N)), member, trim=trim
+        )
+        med_p, mean_p, std_p = filters._partition_moments(
+            vals, cell, valid, C, trim=trim
+        )
+        np.testing.assert_allclose(np.asarray(med_p), np.asarray(med_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(std_p), np.asarray(std_d),
+                                   rtol=1e-4, atol=1e-5)
+
+    # circular variant
+    ang = jnp.asarray(rng.uniform(0, 2*np.pi, N).astype(np.float32))
+    med_d, mean_d, std_d = filters._masked_circ_moments(
+        jnp.broadcast_to(ang[None, :], (C, N)), member
+    )
+    med_p, mean_p, std_p = filters._partition_circ_moments(
+        ang, cell, valid, C
+    )
+    np.testing.assert_allclose(np.asarray(med_p), np.asarray(med_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std_p), np.asarray(std_d),
+                               rtol=1e-4, atol=1e-5)
