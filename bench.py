@@ -92,7 +92,7 @@ def bench_pipeline(i1, i2, K1, K2, d1, d2):
     det = DetectorConfig(kind="FAST", max_keypoints=2048, fast_threshold=12.0)
     desc = DescriptorConfig(kind="ORB")
     match = MatchingConfig(matcher_name="GMBSOF")
-    pose_cfg = PoseConfig(robust=RobustConfig(batch_hypotheses=256, max_batches=4))
+    pose_cfg = PoseConfig(robust=RobustConfig(batch_hypotheses=96, max_batches=12))
     base_key = jax.random.PRNGKey(0)
 
     # The per-frame PRNG fold stays INSIDE the jit: materializing a key on
@@ -184,8 +184,8 @@ def bench_batched(i1, i2, K1, K2, d1, d2, batch=8):
                                fast_threshold=12.0),
         desc_cfg=DescriptorConfig(kind="ORB"),
         match_cfg=MatchingConfig(matcher_name="GMBSOF"),
-        pose_cfg=PoseConfig(robust=RobustConfig(batch_hypotheses=256,
-                                                max_batches=4)),
+        pose_cfg=PoseConfig(robust=RobustConfig(batch_hypotheses=96,
+                                                max_batches=12)),
     )
     imgs1 = jnp.broadcast_to(i1, (batch,) + i1.shape)
     imgs2 = jnp.broadcast_to(i2, (batch,) + i2.shape)

@@ -128,8 +128,8 @@ def ours_rows(n_pairs, R_gt, t_gt):
     d1 = jnp.asarray(calib.dist1, jnp.float32)
     det = DetectorConfig(kind="FAST", max_keypoints=N_KPTS,
                          fast_threshold=12.0)
-    pcfg = PoseConfig(robust=RobustConfig(batch_hypotheses=256,
-                                          max_batches=4))
+    pcfg = PoseConfig(robust=RobustConfig(batch_hypotheses=96,
+                                          max_batches=12))
     rows = []
     for i in range(n_pairs):
         i1 = jnp.asarray(io.load_image_gray(STEREO / f"left_{i:010d}.png"))
