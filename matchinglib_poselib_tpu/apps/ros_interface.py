@@ -94,14 +94,27 @@ def params_to_configs(params: dict) -> dict:
         from matchinglib_poselib_tpu.config import PoseEstimator
 
         rb["estimator"] = PoseEstimator(rb.pop("estimator_name"))
-    # refineRT two-digit code (poselib-test --refineRT): first digit 0
-    # disables the linear refinement entirely
+    # refineRT two-digit code (poselib-test --refineRT, main.cpp:339-354):
+    # first digit = refinement algorithm (incl. Kneip-instead-BA on 6),
+    # second digit = weighting function — same tables as the CLI
     rf = groups["refine"]
-    if "refine_rt_code" in rf:
-        code = rf.pop("refine_rt_code")
-        rf["enabled"] = code[:1] != "0"
-
     node = groups.pop("node")
+    if "refine_rt_code" in rf:
+        from matchinglib_poselib_tpu.apps.common import (
+            _REFINE_ALG,
+            _REFINE_W,
+        )
+
+        code = (rf.pop("refine_rt_code") + "22")[:2]
+        enabled, solver, kneip_iba = _REFINE_ALG.get(
+            code[0], (True, None, False)
+        )
+        rf["enabled"] = enabled
+        if solver is not None:
+            rf["solver"] = solver
+        if code[1] in _REFINE_W:
+            rf["weights"] = _REFINE_W[code[1]]
+        node["kneip_instead_ba"] = kneip_iba
     det = DetectorConfig(**groups["det"])
     desc = DescriptorConfig(**groups["desc"])
     match = MatchingConfig(**groups["match"])
@@ -143,6 +156,8 @@ class MatchingPoselibNode:
         self._params = dict(params or {})
         self._on_pose = on_pose
         self._frame_idx = 0
+        self._last_eval_idx = 0
+        self._last_msg: PoseMsg | None = None
         self._calib = None
         self._rebuild()
 
@@ -178,6 +193,23 @@ class MatchingPoselibNode:
 
         if self._calib is None:
             raise RuntimeError("set_calibration() before streaming frames")
+        # evStepStereoStable (reference node parameter): once the stereo
+        # pose is stable, re-evaluate it only every n-th frame and
+        # republish the held pose in between (0 = evaluate every frame)
+        ev_step = int(self._node.get("ev_step_stable", 0) or 0)
+        if (
+            self._node.get("stereo_ref")
+            and ev_step > 0
+            and self._refine is not None
+            and self._refine.pose_is_stable
+            and self._last_msg is not None
+            and (self._frame_idx - self._last_eval_idx) < ev_step
+        ):
+            self._frame_idx += 1
+            if self._on_pose is not None:
+                self._on_pose(self._last_msg)
+            return self._last_msg
+
         K1, K2, d1, d2 = self._calib
         i1 = jnp.asarray(np.asarray(img_left, np.float32))
         i2 = jnp.asarray(np.asarray(img_right, np.float32))
@@ -186,6 +218,7 @@ class MatchingPoselibNode:
         )
         key = jax.random.fold_in(self._key, self._frame_idx)
         self._frame_idx += 1
+        self._last_eval_idx = self._frame_idx
 
         if self._node.get("stereo_ref"):
             from matchinglib_poselib_tpu.config import StereoRefineConfig
@@ -194,10 +227,15 @@ class MatchingPoselibNode:
             )
 
             if self._refine is None:
+                kiba = bool(self._node.get("kneip_instead_ba", False))
                 self._refine = StereoRefine(
                     np.asarray(K1), np.asarray(K2),
                     np.asarray(d1), np.asarray(d2),
-                    cfg=StereoRefineConfig(pose=self._pose),
+                    cfg=StereoRefineConfig(
+                        pose=self._pose,
+                        kneip_instead_ba=kiba,
+                        kneip_instead_ba_pool=kiba,
+                    ),
                 )
             st = self._refine.add_new_correspondences(
                 np.asarray(corr.pts1), np.asarray(corr.pts2),
@@ -227,6 +265,7 @@ class MatchingPoselibNode:
                 n_inliers=int(res.n_inliers),
                 inlier_ratio=float(res.inlier_ratio),
             )
+        self._last_msg = msg
         if self._on_pose is not None:
             self._on_pose(msg)
         return msg

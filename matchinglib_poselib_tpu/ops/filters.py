@@ -588,7 +588,11 @@ def sof_predict_knn(
     far = jnp.where(nvalid, ndist, 0.0).max(axis=1)
     pred = query_pts + med
     rad = std_mult * sigma + 4.0 + 0.15 * far
-    ok = jnp.broadcast_to(n_seed >= 3, (query_pts.shape[0],))
+    # per-query validity: approx_max_k at recall < 1 can return no finite
+    # neighbor for a query (all-invalid tiles), leaving med/sigma at the
+    # big sentinel — such queries must keep their grid prediction rather
+    # than a ~1e9 px off-image "prediction" whose radius gates nothing
+    ok = (n_seed >= 3) & jnp.any(nvalid, axis=1)
     return pred, rad, ok
 
 

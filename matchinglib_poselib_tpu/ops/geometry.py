@@ -470,6 +470,25 @@ def cheirality_counts(R, t, x1, x2, mask, dist_thresh: float = 50.0):
     return jnp.sum(ok, axis=-1), X, ok
 
 
+def spread_select(score: jax.Array, k: int) -> jax.Array:
+    """Top-k indices of ``score`` with a spatially spread tie-break.
+
+    ``lax.top_k`` breaks ties to the lowest index; on grid-row-major
+    keypoint arrays that systematically selects the top of the image — a
+    spatially biased subset for cheirality votes and refits (degenerate
+    scenes, e.g. a dominant plane at the image top, could flip a vote
+    relative to the full set). A deterministic per-index Knuth hash,
+    scaled below half the smallest score step (scores here are
+    integer-valued class labels), spreads equal-score selection over the
+    whole array without disturbing the class order.
+    """
+    n = score.shape[0]
+    h = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    tie = h.astype(score.dtype) * (0.4 / 4294967296.0)
+    _, sel = jax.lax.top_k(score + tie, k)
+    return sel
+
+
 def recover_pose(E, x1, x2, mask, dist_thresh: float = 50.0,
                  vote_points: int | None = None):
     """Cheirality-voted pose from E (five-point.cpp:150 recoverPose).
@@ -492,7 +511,7 @@ def recover_pose(E, x1, x2, mask, dist_thresh: float = 50.0,
         and x1.ndim == 2
         and vote_points < x1.shape[0]
     ):
-        _, sel = jax.lax.top_k(mask.astype(x1.dtype), vote_points)
+        sel = spread_select(mask.astype(x1.dtype), vote_points)
         x1v, x2v, mv = x1[sel], x2[sel], mask[sel]
         x1b = jnp.broadcast_to(x1v[None], (4,) + x1v.shape)
         x2b = jnp.broadcast_to(x2v[None], (4,) + x2v.shape)

@@ -128,18 +128,19 @@ def _knn2_kernel(binary: bool, bits: int, xy_mode: int):
     return kernel
 
 
-def _knn2_kernel_packed(bits: int, xy_mode: int):
+def _knn2_kernel_packed(pack: float, xy_mode: int):
     """Packed binary kernel: one f32 carries (hamming, col_id).
 
     For ±1 sign descriptors, bits - <s1, s2> = 2 * hamming is an even
-    integer in [0, 2*bits], so
+    integer in [0, 2*bits], so with pack = pack_cols / 2
 
-        combined = (bits - dot) * 16384 + col_id
-                 = hamming * 32768 + col_id
+        combined = (bits - dot) * pack + col_id
+                 = hamming * pack_cols + col_id
 
-    is exactly representable in f32 whenever bits <= 512 and col_id <
-    32768 (max value 2^24 + 2^15-1, within f32's 24-bit integer range —
-    col_id is a remainder mod 32768, untouched by the even-valued
+    is exactly representable in f32 whenever the maximum value
+    bits * pack_cols + (n2p - 1) stays within f32's 24-bit integer range
+    (checked by the caller; pack_cols is the smallest power of two
+    holding every column id, so the col field is untouched by the
     hamming term). A single running min then yields both the best
     distance AND its index with lowest-index tie-breaking for free. This
     cuts the VPU work per distance from ~12 elementwise ops (separate
@@ -148,9 +149,10 @@ def _knn2_kernel_packed(bits: int, xy_mode: int):
     at D=256 the MXU contraction is only ~512 FLOPs per distance, so the
     VPU post-processing, not the matmul, bounds the kernel.
 
-    The per-column constant bits*16384 + col_id (or a huge sentinel for
-    invalid columns) is precomputed on row 4 of the caux page, making the
-    in-kernel combine a single fused multiply-add.
+    The per-column constant bits*pack + col_id — or BIGC + bits*pack for
+    invalid columns, so combined >= BIGC even at the maximal positive
+    correlation dot = bits — is precomputed on row 4 of the caux page,
+    making the in-kernel combine a single fused multiply-add.
     """
 
     def kernel(a_ref, bt_ref, caux_ref, qaux_ref, out_ref):
@@ -163,8 +165,9 @@ def _knn2_kernel_packed(bits: int, xy_mode: int):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-        # caux row 4 = bits*16384 + global col id, or BIGC when invalid
-        combined = caux_ref[4:5, :] - dot * 16384.0
+        # caux row 4 = bits*pack + global col id, or BIGC + bits*pack
+        # when invalid
+        combined = caux_ref[4:5, :] - dot * pack
         if xy_mode:
             dx = qaux_ref[:, 0:1] - caux_ref[1:2, :]
             dy = qaux_ref[:, 1:2] - caux_ref[2:3, :]
@@ -192,8 +195,6 @@ def _knn2_kernel_packed(bits: int, xy_mode: int):
     return kernel
 
 
-_PACK = 16384.0  # combined = caux4 - dot * _PACK;  caux4 = bits*_PACK + col
-_PACK_COLS = 32768  # col-id field width (hamming lands on multiples of it)
 BIGC = 2.0 ** 27  # invalid/gated sentinel, past any packed value
 
 
@@ -239,21 +240,29 @@ def knn2(
     bt = jnp.zeros((dp, n2p), cdtype).at[:d, :n2].set(desc2.T)
 
     # packed fast path: binary descriptors whose (hamming, col) pair fits
-    # one exact f32 (see _knn2_kernel_packed)
-    packed = binary and n2p <= _PACK_COLS and bits <= 512
+    # one exact f32 (see _knn2_kernel_packed). pack_cols = smallest power
+    # of two holding every column id; every packed integer up to
+    # bits*pack_cols + n2p - 1 must be <= 2^24 (f32 exact-integer range).
+    pack_cols = 1 << max(int(n2p - 1).bit_length(), 10)
+    packed = binary and bits * pack_cols + n2p - 1 <= 2 ** 24
+    pack = pack_cols / 2.0
 
     # candidate-side page: row 0 penalty, rows 1..2 keypoint x, y,
-    # row 4 packed per-column constant bits*16384 + col (packed path)
+    # row 4 packed per-column constant bits*pack + col (packed path)
     caux = jnp.full((8, n2p), BIG, jnp.float32)
     caux = caux.at[0, :n2].set(jnp.where(valid2.astype(bool), 0.0, BIG))
     if packed:
         cols = jnp.arange(n2p, dtype=jnp.float32)
-        c4 = jnp.full((n2p,), BIGC, jnp.float32)
+        # invalid sentinel BIGC + bits*pack: an invalid ±1 descriptor
+        # column with maximal positive correlation (dot = bits) still
+        # lands exactly on BIGC and is rejected by the strict < BIGC
+        # decode; padded zero columns (dot = 0) land above BIGC
+        c4 = jnp.full((n2p,), BIGC + bits * pack, jnp.float32)
         c4 = c4.at[:n2].set(
             jnp.where(
                 valid2.astype(bool),
-                jnp.float32(bits) * _PACK + cols[:n2],
-                BIGC,
+                jnp.float32(bits) * pack + cols[:n2],
+                BIGC + bits * pack,
             )
         )
         caux = caux.at[4, :].set(c4)
@@ -274,7 +283,7 @@ def knn2(
 
     grid = (n1p // tn, n2p // tm)
     out = pl.pallas_call(
-        _knn2_kernel_packed(bits, xy_mode)
+        _knn2_kernel_packed(pack, xy_mode)
         if packed
         else _knn2_kernel(binary, bits if binary else 0, xy_mode),
         out_shape=jax.ShapeDtypeStruct((n1p, _LANE), jnp.float32),
@@ -310,15 +319,17 @@ def knn2(
     if packed:
         m1 = out[:n1, 0]
         m2 = out[:n1, 1]
-        ok1 = m1 < BIGC
-        ham1 = jnp.floor(m1 / _PACK_COLS)
+        ham1 = jnp.floor(m1 / pack_cols)
+        col1 = m1 - ham1 * pack_cols
+        # col1 < n2 always holds when m1 < BIGC (invalid/padded columns
+        # carry the >= BIGC sentinel); keep the guard as defense against
+        # out-of-range gathers downstream
+        ok1 = (m1 < BIGC) & (col1 < n2)
         d_best = jnp.where(ok1, ham1, BIG)
         d_second = jnp.where(
-            m2 < BIGC, jnp.floor(m2 / _PACK_COLS), BIG
+            m2 < BIGC, jnp.floor(m2 / pack_cols), BIG
         )
-        idx = jnp.where(
-            ok1, (m1 - ham1 * _PACK_COLS).astype(jnp.int32), -1
-        )
+        idx = jnp.where(ok1, col1.astype(jnp.int32), -1)
         return d_best, d_second, idx
     d_best = out[:n1, 0]
     d_second = out[:n1, 1]

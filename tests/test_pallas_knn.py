@@ -108,6 +108,79 @@ def test_knn2_large_unaligned_shapes(rng):
     np.testing.assert_array_equal(np.asarray(out.idx)[m], np.asarray(ref.idx)[m])
 
 
+def test_knn2_all_candidates_gated(rng):
+    """Every valid candidate outside the radius gate -> no matches.
+
+    Regression test for the packed-kernel invalid sentinel: invalid
+    columns whose ±1 descriptors correlate positively with a query used
+    to decode below BIGC and win once every valid candidate was
+    radius-gated, leaking a bogus match (and a potentially out-of-range
+    index) where the XLA path returns none.
+    """
+    n1, n2 = 16, 300
+    d1_packed = _random_binary(rng, n1)
+    # candidates: exact copies of the queries (maximal positive dot),
+    # half of them marked invalid
+    d2_packed = jnp.asarray(
+        np.tile(np.asarray(d1_packed), (n2 // n1 + 1, 1))[:n2]
+    )
+    valid2 = jnp.asarray(np.arange(n2) % 2 == 0)
+    # gate: predictions far away from every candidate, tiny radius
+    pred = jnp.full((n1, 2), 1e6, jnp.float32)
+    rad2 = jnp.full((n1,), 1.0, jnp.float32)
+    pts2 = jnp.zeros((n2, 2), jnp.float32)
+
+    signs1 = matching.bits_to_signs(d1_packed)
+    signs2 = matching.bits_to_signs(d2_packed)
+    bits = signs1.shape[-1]
+    db, ds, idx = knn.knn2(
+        signs1, signs2, valid2, pred, rad2, pts2,
+        binary=True, bits=bits, xy_mode=1, interpret=True,
+    )
+    assert np.all(np.asarray(idx) == -1)
+    assert np.all(np.asarray(db) >= knn.BIG * 0.5)
+
+    # and with ratio_test off through the public API: still zero matches,
+    # identical to the XLA path
+    kwargs = dict(
+        binary=True, ratio_test=False, cross_check=False,
+        guide_pred=pred, guide_rad=rad2, pts2_xy=pts2,
+    )
+    ref = matching.match_descriptors(
+        d1_packed, d2_packed, jnp.ones(n1, bool), valid2,
+        use_pallas=False, **kwargs,
+    )
+    out = matching.match_descriptors(
+        d1_packed, d2_packed, jnp.ones(n1, bool), valid2,
+        use_pallas=True, **kwargs,
+    )
+    assert int(ref.n_matches) == 0
+    assert int(out.n_matches) == 0
+
+
+def test_knn2_packed_512bit_exactness(rng):
+    """512-bit descriptors stay exact: pack_cols adapts to the column
+    count so hamming=512 values remain inside f32's integer range."""
+    bits = 512
+    n1, n2 = 4, 3000
+    s1 = rng.integers(0, 2, size=(n1, bits)) * 2.0 - 1.0
+    signs1 = jnp.asarray(s1, jnp.bfloat16)
+    s2 = rng.integers(0, 2, size=(n2, bits)) * 2.0 - 1.0
+    # plant: exact inverse of query 0 at the last column (hamming = 512)
+    s2[n2 - 1] = -s1[0]
+    signs2 = jnp.asarray(s2, jnp.bfloat16)
+    valid = jnp.ones(n2, jnp.float32)
+
+    d1, d2, idx = knn.knn2(
+        signs1, signs2, valid, binary=True, bits=bits, interpret=True
+    )
+    # brute-force reference
+    ham = (bits - s1 @ s2.T) / 2
+    best = ham.min(axis=1)
+    np.testing.assert_array_equal(np.asarray(d1), best)
+    np.testing.assert_array_equal(np.asarray(idx), ham.argmin(axis=1))
+
+
 def test_knn2_packed_boundary_exactness(rng):
     """Packed path: planted best/second-best at the last columns are exact.
 
