@@ -201,6 +201,9 @@ def stereo_refine_config(args, pose: PoseConfig,
         enabled=en_s,
         solver=solver_s,
         weights=_REFINE_W.get(rrt_s[1], RefineWeights.PSEUDO_HUBER),
+        # pool-scale compaction caps (see StereoRefineConfig.refine_pool)
+        refine_max_points=4096,
+        polish_max_points=4096,
     )
     ba_pool = BAConfig(
         enabled=args.BART_stereo > 0, fix_intrinsics=args.BART_stereo != 2

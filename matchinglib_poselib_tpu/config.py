@@ -95,7 +95,14 @@ class MatchingConfig:
     matcher_name: str = "GMBSOF"
     ratio_test: bool = True
     ratio: float = LOWE_RATIO
-    cross_check: bool = True
+    # reference default is ratio-ONLY: GMbSOF's guided matching uses the
+    # ratio test when enabled and falls back to cross-checking only with
+    # the ratio test off (match_statOptFlow.cpp:149-156 table), and the
+    # NMSLIB/FLANN/ANNOY paths never cross-check (nmslib_matchers.h,
+    # matchers.cpp:525-707). Stacking both (old default) cost ~40% of
+    # the matches vs the reference workload (PARITY_ACCURACY round 3:
+    # 416 vs 694 mean) and a second kNN pass per pair.
+    cross_check: bool = False
     # GMS filter (reference: gms.cpp:54-84)
     gms_filter: bool = False
     gms_grid: int = 20
@@ -158,6 +165,10 @@ class HalignConfig:
 
     max_planes: int = 3  # static plane-peeling rounds
     min_plane_inliers: int = 20  # reference MIN_PTS_PLANE semantics
+    # require sum of plane strengths (inlier fractions) > 0.5, else the
+    # scene is not plane-dominated and Halign reports error -2
+    # (estimatePoseHomographies checkPlaneStrength, pose_homography.cpp:243)
+    check_plane_strength: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -265,8 +276,21 @@ class StereoRefineConfig:
     kneip_instead_ba: bool = False
     kneip_instead_ba_pool: bool = False
     # pool-path refinement/BA configs (refineMethod_CorrPool/BART_CorrPool,
-    # :155-158) — the per-frame path uses pose.refine / pose.ba
-    refine_pool: RefinementConfig = RefinementConfig()
+    # :155-158) — the per-frame path uses pose.refine / pose.ba. The
+    # compaction caps are 4x the per-frame defaults: the pool aggregates
+    # ~25k correspondences across frames, and the whole point of pool
+    # refinement is the sqrt(N) noise-floor advantage over a single
+    # frame's ~600 inliers — capping at the per-frame 1024 forfeits it
+    refine_pool: RefinementConfig = RefinementConfig(
+        refine_max_points=4096, polish_max_points=4096
+    )
+    # TPU-framework extension (not in the reference): after pool
+    # refinement, adapt the pose to the CURRENT frame with a short LM
+    # polish seeded at the pool pose (guarded against drift). The pool
+    # pose is the mean over the aggregation window and floors at the
+    # rig's per-frame jitter radius; tracking closes that gap (see
+    # models/stereo_refine._track_frame_pose)
+    track_frame_pose: bool = True
     ba_pool: BAConfig = BAConfig()
     verbose: int = 0
     pose: PoseConfig = PoseConfig()

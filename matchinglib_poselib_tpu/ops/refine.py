@@ -105,7 +105,7 @@ def refine_essential_linear(
         err_pre = geo.sampson_error(E0, x1, x2)
         band_pre = (err_pre < m * threshold_sq) & maskb
         score = band_pre.astype(x1.dtype) + maskb.astype(x1.dtype)
-        _, sel = jax.lax.top_k(score, cap)
+        sel = geo.spread_select(score, cap)
         x1, x2, maskb = x1[sel], x2[sel], maskb[sel]
 
     err0 = geo.sampson_error(E0, x1, x2)
@@ -175,6 +175,47 @@ def refine_essential_linear(
     return RefineResult(model=E, inlier_mask=inl, n_inliers=n_inl, mean_sampson=mean)
 
 
+def _solve_spd_small(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for a tiny SPD system via fully unrolled Cholesky.
+
+    The LM normal matrix H + lam*D is SPD by construction, so no
+    pivoting is needed. ``jnp.linalg.solve`` lowers a 5x5 solve to XLA's
+    general LU path — a dispatch-latency tax paid once per LM iteration
+    across ~30 sequential iterations of the refinement chains; the
+    unrolled factorization is pure scalar/vector arithmetic that XLA
+    fuses into the surrounding step.
+    """
+    n = A.shape[0]
+    # Cholesky: A = L L^T, unrolled over static columns
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _exp_so3(w: jax.Array) -> jax.Array:
     """Rodrigues: rotation vector (3,) -> rotation matrix (3, 3)."""
     th2 = jnp.sum(w * w)
@@ -203,7 +244,7 @@ class PolishResult(NamedTuple):
     cost: jax.Array  # final robust mean cost
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "rotation_only"))
 def polish_pose_sampson(
     R: jax.Array,
     t: jax.Array,
@@ -212,6 +253,7 @@ def polish_pose_sampson(
     weights: jax.Array,
     threshold_sq: jax.Array,
     iterations: int = 12,
+    rotation_only: bool = False,
 ) -> PolishResult:
     """Levenberg-Marquardt Sampson polish over the 5-DOF (R, t) manifold.
 
@@ -227,6 +269,11 @@ def polish_pose_sampson(
     weights: (N,) per-point weights (inlier mask as float, optionally
     quality-scaled). threshold_sq: squared normalized threshold used for
     the Huber scale.
+
+    rotation_only: optimize the 3-DOF rotation tangent only, holding the
+    translation direction fixed (used by the streaming frame tracker:
+    per-frame rotation jitter is real while the rig's translation
+    direction is far better estimated by the pool mean).
     """
     dtype = x1.dtype
     # scale residuals to O(1): signed Sampson L1 divided by the threshold
@@ -248,14 +295,21 @@ def polish_pose_sampson(
         # pseudo-Huber with delta = 1 (the threshold, in scaled units)
         return jnp.sum(w_in * 2.0 * (jnp.sqrt(1.0 + r * r) - 1.0)) / n_w
 
+    ndof = 3 if rotation_only else 5
+
     def step(carry, _):
         Rc, tc, cost, lam = carry
         B = _t_basis(tc)
 
-        def resid(p):
+        def new_pose(p):
             Rn = Rc @ _exp_so3(p[:3])
+            if rotation_only:
+                return Rn, tc
             tn = tc + B @ p[3:]
-            tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+            return Rn, tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+
+        def resid(p):
+            Rn, tn = new_pose(p)
             r = signed_sampson(Rn, tn)
             # IRLS sqrt-weights: Huber influence clipped at delta = 1
             wr = jnp.sqrt(
@@ -263,16 +317,14 @@ def polish_pose_sampson(
             )
             return r * wr
 
-        p0 = jnp.zeros(5, dtype)
+        p0 = jnp.zeros(ndof, dtype)
         r0 = resid(p0)
-        J = jax.jacfwd(resid)(p0)  # (N, 5)
+        J = jax.jacfwd(resid)(p0)  # (N, ndof)
         H = J.T @ J
         g = J.T @ r0
-        D = jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(5, dtype=dtype)
-        delta = jnp.linalg.solve(H + lam * D, -g)
-        R_new = Rc @ _exp_so3(delta[:3])
-        t_new = tc + B @ delta[3:]
-        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
+        D = jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(ndof, dtype=dtype)
+        delta = _solve_spd_small(H + lam * D, -g)
+        R_new, t_new = new_pose(delta)
         cost_new = robust_cost(signed_sampson(R_new, t_new))
         ok = jnp.isfinite(cost_new) & (cost_new < cost)
         Rc = jnp.where(ok, R_new, Rc)
@@ -299,6 +351,8 @@ def polish_pose_iterative(
     rounds: int = 3,
     iterations: int = 15,
     max_points: int | None = None,
+    point_weights: jax.Array | None = None,
+    rotation_only: bool = False,
 ) -> tuple[PolishResult, jax.Array]:
     """Alternate Sampson LM polish with inlier re-selection to a fixed point.
 
@@ -321,6 +375,10 @@ def polish_pose_iterative(
     the pose-stage time; real valid-match counts sit well under the cap,
     so the re-selection pool is preserved. The returned inlier mask is
     always computed on the FULL input arrays under the final model.
+    point_weights: optional (N,) persistent per-point quality weights
+    (e.g. the correspondence pool's aggregated Sampson-history weights)
+    multiplied into the LM support of EVERY round, so re-selection keeps
+    honoring correspondence quality instead of flattening to 0/1.
     Returns the final PolishResult and the final boolean inlier mask.
     """
     dtype = x1.dtype
@@ -330,20 +388,28 @@ def polish_pose_iterative(
     x1c, x2c = x1, x2
     wc = inliers.astype(dtype)
     validc = valid
+    pw = None if point_weights is None else point_weights.astype(dtype)
     if max_points is not None and max_points < n:
-        score = valid_mask.astype(dtype) + inliers.astype(dtype)
-        _, sel = jax.lax.top_k(score, max_points)
+        score = valid_mask.astype(dtype) + (inliers > 0).astype(dtype)
+        sel = geo.spread_select(score, max_points)
         x1c, x2c = x1[sel], x2[sel]
         wc = inliers.astype(dtype)[sel]
         validc = valid[sel]
+        if pw is not None:
+            pw = pw[sel]
+    if pw is not None:
+        wc = wc * jnp.maximum(pw, 1e-3)
 
     pol = None
     for _ in range(rounds):
         pol = polish_pose_sampson(
-            R, t, x1c, x2c, wc, threshold_sq, iterations=iterations
+            R, t, x1c, x2c, wc, threshold_sq, iterations=iterations,
+            rotation_only=rotation_only,
         )
         R, t = pol.R, pol.t
         err = geo.sampson_error(pol.E, x1c, x2c)
         wc = ((err < threshold_sq) & validc).astype(dtype)
+        if pw is not None:
+            wc = wc * jnp.maximum(pw, 1e-3)
     err_full = geo.sampson_error(pol.E, x1, x2)
     return pol, (err_full < threshold_sq) & valid

@@ -506,3 +506,54 @@ class TestSprtHistory:
         # full reinit clears the rig statistics
         sr.reset()
         assert sr.sprt_history == []
+
+
+class TestFrameTracking:
+    def test_tracking_follows_per_frame_jitter(self, rng):
+        """track_frame_pose (TPU-framework extension): on a rig with real
+        per-frame rotation jitter, the tracked pose follows each frame's
+        own rotation better than the pool-mean pose, while the
+        translation stays pool-stable (rotation-only stage 1 +
+        margin-gated 5-DOF stage 2, models/stereo_refine.py)."""
+        import dataclasses as dc
+
+        R0, t0 = random_pose(rng, max_angle_deg=8.0)
+        jit_frames = []
+        for _ in range(10):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            a = np.deg2rad(0.08)
+            Kx = np.array([
+                [0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0],
+            ])
+            Rj = (np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * Kx @ Kx) @ R0
+            jit_frames.append(Rj)
+
+        def run(track):
+            srng = np.random.default_rng(123)
+            cfg = dc.replace(make_cfg(), track_frame_pose=track)
+            sr = StereoRefine(K_CAM, K_CAM, cfg=cfg, seed=5)
+            errs = []
+            for f, Rf in enumerate(jit_frames):
+                res = sr.add_new_correspondences(
+                    *gen_frame(srng, Rf, t0, noise_px=0.2, outlier_frac=0.1)
+                )
+                if f >= 3 and res.state == "refined":
+                    rd, td, _ = geo.compare_poses(
+                        jnp.asarray(Rf, jnp.float32),
+                        jnp.asarray(t0 / np.linalg.norm(t0), jnp.float32),
+                        jnp.asarray(sr.R, jnp.float32),
+                        jnp.asarray(sr.t, jnp.float32),
+                    )
+                    errs.append((float(rd), float(td)))
+            return np.asarray(errs)
+
+        tracked = run(True)
+        frozen = run(False)
+        assert len(tracked) >= 4 and len(frozen) >= 4
+        # rotation: tracking must follow the per-frame jitter at least as
+        # well as the pool mean; translation must not degrade materially
+        assert tracked[:, 0].mean() <= frozen[:, 0].mean() + 0.01, (
+            tracked[:, 0].mean(), frozen[:, 0].mean(),
+        )
+        assert tracked[:, 1].mean() <= frozen[:, 1].mean() + 0.05
