@@ -90,6 +90,10 @@ def get_correspondences(
         shape = img1.shape
     binary = features.is_binary_descriptor(desc_cfg.kind)
     is_bold = features.is_bold_descriptor(desc_cfg.kind)
+    # reference filter selection (match_statOptFlow.cpp:149-156): the
+    # ratio test when enabled, cross-checking as the fallback when the
+    # ratio test is off (never silently neither)
+    cross = match_cfg.cross_check or not match_cfg.ratio_test
 
     kps1 = features.detect_keypoints(img1, det_cfg)
     kps2 = features.detect_keypoints(img2, det_cfg)
@@ -106,7 +110,7 @@ def get_correspondences(
             kps1.mask, kps2.mask,
             ratio_test=match_cfg.ratio_test,
             ratio=match_cfg.ratio,
-            cross_check=match_cfg.cross_check,
+            cross_check=cross,
         )
     else:
         res = matching.match_descriptors(
@@ -114,7 +118,7 @@ def get_correspondences(
             binary=binary,
             ratio_test=match_cfg.ratio_test,
             ratio=match_cfg.ratio,
-            cross_check=match_cfg.cross_check,
+            cross_check=cross,
         )
     pts1 = kps1.xy
     pts2 = kps2.xy[res.idx]
@@ -178,7 +182,7 @@ def get_correspondences(
             binary=binary,
             ratio_test=match_cfg.ratio_test,
             ratio=match_cfg.ratio,
-            cross_check=match_cfg.cross_check,
+            cross_check=cross,
             guide_pred=pred,
             guide_rad=rad,
             pts2_xy=kps2.xy,
@@ -253,23 +257,40 @@ def estimate_pose(
         # Halign (poselib-test --Halign; estimatePoseHomographies,
         # pose_homography.cpp:127): pose via multi-plane homography
         # extraction + decomposition — for plane-dominated scenes where
-        # direct E estimation degenerates
+        # direct E estimation degenerates. The reference returns error
+        # codes -1..-4 on non-planar scenes (pose_homography.cpp:200-266)
+        # and its caller falls back; we do the same via lax.cond, so the
+        # robust-E branch only executes when Halign actually failed.
+        key, key_fb = jax.random.split(key)
         hres = homography_pose.estimate_pose_halign(
             x1, x2, mask, quality, cfg.halign, cfg.robust, key,
             threshold_sq=th_sq,
         )
+        halign_ok = hres.error_code == 0
+
+        def _keep_halign(_):
+            return hres.E, hres.inlier_mask, hres.n_inliers
+
+        def _fallback_robust(_):
+            r, _ = robust.estimate_essential_robust(
+                x1, x2, mask.astype(jnp.float32), quality, cfg.robust,
+                key_fb, threshold_sq=th_sq,
+            )
+            return r.model, r.inlier_mask, r.n_inliers
+
+        E, inl, n_inl_sel = jax.lax.cond(
+            halign_ok, _keep_halign, _fallback_robust, None
+        )
 
         class _R:
-            model = hres.E
-            inlier_mask = hres.inlier_mask
-            n_inliers = hres.n_inliers
+            model = E
+            inlier_mask = inl
+            n_inliers = n_inl_sel
             threshold = jnp.asarray(th_sq, x1.dtype)
 
         res = _R
         degen = None
-        degen_flag = hres.is_rotation_only
-        E = hres.E
-        inl = hres.inlier_mask
+        degen_flag = hres.is_rotation_only & halign_ok
     elif cfg.auto_th:
         # AutoThEpi (poselib-test --autoTH; pose_estim.cpp:82-300): the
         # inlier threshold is adapted from residual statistics between

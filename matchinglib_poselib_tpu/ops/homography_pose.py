@@ -59,6 +59,14 @@ class HalignResult(NamedTuple):
     plane_valid: jax.Array  # (P,) plane extraction succeeded
     n_planes: jax.Array  # number of valid planes
     is_rotation_only: jax.Array  # best H is (numerically) a pure rotation
+    # reference failure semantics (estimatePoseHomographies return value,
+    # pose_homography.cpp:120-266): 0 ok, -1 no homographies found,
+    # -2 sum of plane strengths too low, -3 alignment failed (no
+    # candidate passed scoring/cheirality), -4 pose variables invalid
+    # (non-finite). Callers MUST check this and fall back to the robust-E
+    # path on failure — the reference degrades detectably, so do we.
+    error_code: jax.Array  # int32
+    plane_strengths: jax.Array  # (P,) th*n_inl/(actual_th*n_corrs)
 
 
 def decompose_homography(H: jax.Array) -> HomographyDecomposition:
@@ -226,6 +234,28 @@ def estimate_pose_halign(
     rot_only = jnp.linalg.norm(tb) < 1e-8
     # rotation-only fallback: E undefined; report R with zero t
     Eb = jnp.where(rot_only, jnp.zeros((3, 3), x1.dtype), Eb)
+
+    # failure detection (reference return codes, pose_homography.cpp:
+    # 200 -1 / 243 -2 / 246 -3 / 266 -4). Plane strength is the
+    # reference's th*n_inl/(actual_th*n_corrs) (:286) — our threshold is
+    # fixed, so th/actual_th = 1 and strength = plane inlier fraction.
+    n_planes = jnp.sum(plane_valid.astype(jnp.int32))
+    n_corrs = jnp.maximum(jnp.sum(maskb.astype(x1.dtype)), 1.0)
+    strengths = jnp.sum(plane_masks.astype(x1.dtype), axis=1) / n_corrs
+    strengths = jnp.where(plane_valid, strengths, 0.0)
+    str_sum = jnp.sum(jnp.where(strengths > 0.1, strengths, 0.0))
+    pose_finite = jnp.all(jnp.isfinite(Rb)) & jnp.all(jnp.isfinite(tb))
+    err_code = jnp.where(
+        n_planes == 0,
+        -1,
+        jnp.where(
+            cfg.check_plane_strength & (str_sum <= 0.5),
+            -2,
+            jnp.where(
+                scores[best] < 0.0, -3, jnp.where(pose_finite, 0, -4)
+            ),
+        ),
+    ).astype(jnp.int32)
     return HalignResult(
         R=Rb,
         t=tb,
@@ -236,6 +266,8 @@ def estimate_pose_halign(
         homographies=Hs,
         plane_masks=plane_masks,
         plane_valid=plane_valid,
-        n_planes=jnp.sum(plane_valid.astype(jnp.int32)),
+        n_planes=n_planes,
         is_rotation_only=rot_only,
+        error_code=err_code,
+        plane_strengths=strengths,
     )

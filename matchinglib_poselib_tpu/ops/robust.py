@@ -652,6 +652,57 @@ def estimate_fundamental_robust(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_nomotion_robust(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    quality: jax.Array | None,
+    cfg: RobustConfig,
+    key: jax.Array | None = None,
+    threshold_sq: jax.Array | float | None = None,
+) -> RobustResult:
+    """No-motion robust estimation — the last family of the reference's
+    estimator menu (usac NoMotionEstimator.h, dispatched alongside
+    estimateEssentialMatUsac / estimateRotationMatUsac in
+    usac_estimations.cpp; SURVEY.md P4).
+
+    The no-motion hypothesis space contains exactly one model — the
+    identity motion (R = I, t = 0) — whose support is every
+    correspondence with (normalized) displacement under the threshold.
+    The reference still spins its USAC loop to verify that one model; on
+    TPU the search collapses to a single dense scoring pass over all
+    points, which is both exact and the fastest possible formulation.
+    The returned model slot carries the identity rotation; ``quality``
+    and ``key`` are accepted for menu-signature parity and unused.
+    """
+    del quality, key
+    if threshold_sq is None:
+        threshold_sq = jnp.asarray(cfg.threshold_px**2, x1.dtype)
+    th = jnp.asarray(threshold_sq, x1.dtype)
+    maskb = mask.astype(bool)
+    err = jnp.sum((x2 - x1) ** 2, axis=-1)
+    inl = (err < th) & maskb
+    n_inl = jnp.sum(inl).astype(jnp.int32)
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    # MSAC-style score for comparability with the other families
+    score = jnp.sum(jnp.where(inl, th - err, 0.0))
+    return RobustResult(
+        model=jnp.eye(3, dtype=x1.dtype),
+        inlier_mask=inl,
+        n_inliers=n_inl,
+        inlier_ratio=n_inl.astype(jnp.float32) / n_valid,
+        score=score,
+        threshold=th,
+        n_batches=jnp.asarray(1, jnp.int32),
+        n_hypotheses=jnp.asarray(1, jnp.int32),
+        n_models_generated=jnp.asarray(1, jnp.int32),
+        n_models_rejected=jnp.asarray(0, jnp.int32),
+        n_points_verified=jnp.sum(mask.astype(jnp.int32)),
+        n_lo_refinements=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def estimate_rotation_robust(
     x1: jax.Array,
     x2: jax.Array,

@@ -143,6 +143,93 @@ def test_halign_two_planes(rng):
     assert float(td) < 2.0
 
 
+def test_halign_error_code_no_planes(rng):
+    """Pure-noise correspondences: no plane reaches min_plane_inliers ->
+    error -1 (estimatePoseHomographies, pose_homography.cpp:200)."""
+    N = 512
+    x1 = rng.uniform(-1, 1, (N, 2)).astype(np.float32)
+    x2 = rng.uniform(-1, 1, (N, 2)).astype(np.float32)
+    res = hp.estimate_pose_halign(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(N, bool),
+        jnp.ones(N, jnp.float32),
+        HalignConfig(max_planes=2),
+        RobustConfig(
+            estimator=PoseEstimator.RANSAC, solver=MinimalSolver.HOMOGRAPHY,
+            batch_hypotheses=128, max_batches=2, check_degeneracy=False,
+        ),
+        jax.random.PRNGKey(3),
+        threshold_sq=1e-7,
+    )
+    assert int(res.error_code) == -1
+
+
+def test_halign_error_code_ok_on_plane(rng):
+    """The planar regime keeps error 0 and reports plane strengths."""
+    R, _ = random_pose(rng, max_angle_deg=8.0)
+    t = np.array([0.3, -0.05, 0.02])
+    x1, x2, _ = plane_scene(rng, R, t, np.array([0.05, 0.1, 1.0]), 6.0, 400)
+    N = 512
+    n_real = len(x1)
+    mask = np.zeros(N, bool)
+    mask[:n_real] = True
+    res = hp.estimate_pose_halign(
+        jnp.asarray(_pad(x1, N)), jnp.asarray(_pad(x2, N)),
+        jnp.asarray(mask), jnp.ones(N, jnp.float32),
+        HalignConfig(max_planes=2),
+        RobustConfig(
+            estimator=PoseEstimator.RANSAC, solver=MinimalSolver.HOMOGRAPHY,
+            batch_hypotheses=128, max_batches=4, check_degeneracy=False,
+        ),
+        jax.random.PRNGKey(4),
+        threshold_sq=1e-5,
+    )
+    assert int(res.error_code) == 0
+    assert float(jnp.sum(res.plane_strengths)) > 0.5
+
+
+def test_estimate_pose_halign_fallback_nonplanar(rng):
+    """estimate_pose with use_halign on a NON-planar scene must not
+    silently return a plane-biased pose: Halign reports failure (-1/-2)
+    and the robust-E fallback recovers the true pose (the reference's
+    caller behavior on error codes, pose_homography.cpp:200-266)."""
+    from matchinglib_poselib_tpu.config import PoseConfig
+    from matchinglib_poselib_tpu.models import pipeline
+
+    R, _ = random_pose(rng, max_angle_deg=6.0)
+    t = np.array([0.8, -0.1, 0.15])
+    t /= np.linalg.norm(t)
+    n_pts = 400
+    X = np.stack([
+        rng.uniform(-3, 3, n_pts), rng.uniform(-2, 2, n_pts),
+        rng.uniform(3, 20, n_pts),
+    ], axis=1)
+    X2 = X @ R.T + t
+    keep = (X[:, 2] > 0.3) & (X2[:, 2] > 0.3)
+    X, X2 = X[keep], X2[keep]
+    K = np.array([[800.0, 0, 400.0], [0, 800.0, 300.0], [0, 0, 1.0]],
+                 dtype=np.float32)
+    p1 = (X / X[:, 2:]) @ K.T
+    p2 = (X2 / X2[:, 2:]) @ K.T
+    N = 512
+    n_real = len(p1)
+    mask = np.zeros(N, bool)
+    mask[:n_real] = True
+    cfg = PoseConfig(use_halign=True)
+    res = pipeline.estimate_pose(
+        jnp.asarray(_pad(p1[:, :2], N)), jnp.asarray(_pad(p2[:, :2], N)),
+        jnp.asarray(mask), jnp.ones(N, jnp.float32),
+        jnp.asarray(K), jnp.asarray(K),
+        jnp.zeros(5, jnp.float32), jnp.zeros(5, jnp.float32),
+        cfg, jax.random.PRNGKey(5),
+    )
+    rd, td, _ = geo.compare_poses(
+        jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+        res.R, res.t,
+    )
+    assert float(rd) < 0.5, f"rotation error {float(rd)} deg"
+    assert float(td) < 2.0, f"translation error {float(td)} deg"
+
+
 def test_halign_rotation_only_flag(rng):
     """No-parallax scene: rotation-only flag raised, R still recovered."""
     R, _ = random_pose(rng, max_angle_deg=5.0)

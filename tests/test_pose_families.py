@@ -215,3 +215,38 @@ def test_refine_linear_kneip_solver(rng):
     )
     assert int(out.n_inliers) > 250
     assert float(rd) < 0.3 and float(td) < 2.0, (float(rd), float(td))
+
+
+def test_nomotion_robust(rng):
+    """No-motion estimator entry: a static scene (x2 == x1 + noise) yields
+    the identity model with high support; a moving scene yields low
+    support (usac NoMotionEstimator menu parity, SURVEY.md P4)."""
+    from matchinglib_poselib_tpu.config import RobustConfig
+    from matchinglib_poselib_tpu.ops import robust
+
+    n = 400
+    x1 = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+    # static scene with 10% outliers
+    x2 = x1 + rng.normal(scale=2e-4, size=(n, 2)).astype(np.float32)
+    out_idx = rng.choice(n, 40, replace=False)
+    x2[out_idx] += rng.uniform(0.05, 0.3, (40, 2)).astype(np.float32)
+    cfg = RobustConfig()
+    res = robust.estimate_nomotion_robust(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(n, jnp.float32), None,
+        cfg, threshold_sq=jnp.asarray(1e-6, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(res.model), np.eye(3))
+    assert int(res.n_inliers) >= 350
+    assert float(res.inlier_ratio) > 0.85
+    inl = np.asarray(res.inlier_mask)
+    assert not inl[out_idx].any()
+
+    # moving scene: no-motion support collapses
+    R, t = random_pose(rng, max_angle_deg=10.0)
+    x1m, x2m = synthetic_correspondences(rng, R, t, n, noise=1e-4)
+    res_m = robust.estimate_nomotion_robust(
+        jnp.asarray(x1m, jnp.float32), jnp.asarray(x2m, jnp.float32),
+        jnp.ones(n, jnp.float32), None, cfg,
+        threshold_sq=jnp.asarray(1e-6, jnp.float32),
+    )
+    assert float(res_m.inlier_ratio) < 0.3
