@@ -100,7 +100,37 @@ def rectify_fusiello(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("img_hw",))
+@jax.jit
+def estimate_vergence(
+    R: jax.Array,
+    RR1: jax.Array,
+    RR2: jax.Array,
+    PR1: jax.Array,
+    PR2: jax.Array,
+) -> jax.Array:
+    """Vergence (correspondence-search start shift, in pixels) of a
+    rectified rig (estimateVergence, pose_helper.cpp:2505-2535).
+
+    R: cam1->cam2 rotation; RR1/RR2: rectifying rotations; PR1/PR2:
+    (3, 4) rectified projection matrices (camera 1 centred at the
+    origin). Projects camera-2's viewing direction (the last row of R)
+    through both rectified cameras; the x-disparity of those projections
+    is the epipolar search offset. Returns ceil(1.1 * vergence) as an
+    int32 scalar (0 when the rig has no vergence — parallel axes).
+    """
+    a = R[2, :]  # cam2 z-axis expressed in cam1 coords
+    K1 = PR1[:, :3]
+    K2 = PR2[:, :3]
+    ar1 = K1 @ (RR1 @ a)
+    ar2 = K2 @ RR2[:, 2]
+    ar1 = ar1 / jnp.where(jnp.abs(ar1[2]) > 1e-12, ar1[2], 1.0)
+    ar2 = ar2 / jnp.where(jnp.abs(ar2[2]) > 1e-12, ar2[2], 1.0)
+    vergence = ar1[0] - ar2[0]
+    out = jnp.ceil(1.1 * vergence)
+    return jnp.where(jnp.abs(vergence) < 1e-6, 0.0, out).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("img_hw", "zero_disparity"))
 def stereo_rectify(
     K1: jax.Array,
     K2: jax.Array,
@@ -108,6 +138,7 @@ def stereo_rectify(
     t: jax.Array,
     img_hw: tuple[int, int],
     focal_scale: jax.Array | float = 1.0,
+    zero_disparity: bool = True,
 ) -> Rectification:
     """OpenCV-compatible rectification (stereoRectify2, pose_helper.cpp:1900).
 
@@ -115,6 +146,12 @@ def stereo_rectify(
     mean focal scaled by ``focal_scale`` (the reference's
     estimateOptimalFocalScale result) and the principal point is recentred
     so the original image centers stay centred after rotation.
+
+    zero_disparity=True shares the horizontal principal point
+    (CALIB_ZERO_DISPARITY: a point at infinity has zero disparity);
+    False keeps per-camera cx (the reference engine's convention, where
+    the infinite-depth disparity offset is reported by estimate_vergence
+    as the correspondence-search start shift).
     """
     H, W = img_hw
     Rn = _rectifying_rotation(R, t)
@@ -139,8 +176,9 @@ def stereo_rectify(
     cy = 0.5 * (H - 1) - f * 0.5 * (c1n[1] + c2n[1])
     cx1 = 0.5 * (W - 1) - f * c1n[0]
     cx2 = 0.5 * (W - 1) - f * c2n[0]
-    # OpenCV shares cx too (needed for the simple Q form); use the mean
-    cx = 0.5 * (cx1 + cx2)
+    if zero_disparity:
+        # share cx (simple Q form, zero disparity at infinity)
+        cx1 = cx2 = 0.5 * (cx1 + cx2)
 
     def mkK(cxv):
         z = jnp.zeros((), R.dtype)
@@ -153,8 +191,8 @@ def stereo_rectify(
             ]
         )
 
-    Kn1 = mkK(cx)
-    Kn2 = mkK(cx)
+    Kn1 = mkK(cx1)
+    Kn2 = mkK(cx2)
     P1 = Kn1 @ jnp.concatenate([Rn, jnp.zeros((3, 1), R.dtype)], axis=1)
     P2 = Kn2 @ jnp.concatenate([Rn, -(Rn @ c2)[:, None]], axis=1)
 
@@ -162,10 +200,13 @@ def stereo_rectify(
     Q = jnp.zeros((4, 4), R.dtype)
     Q = Q.at[0, 0].set(1.0)
     Q = Q.at[1, 1].set(1.0)
-    Q = Q.at[0, 3].set(-cx)
+    Q = Q.at[0, 3].set(-cx1)
     Q = Q.at[1, 3].set(-cy)
     Q = Q.at[2, 3].set(f)
     Q = Q.at[3, 2].set(-1.0 / Tx)
+    # disparity of a point at infinity (OpenCV Q[3,3] term; zero in the
+    # shared-cx convention)
+    Q = Q.at[3, 3].set((cx1 - cx2) / Tx)
     return Rectification(
         R1=R1, R2=R2, K_new1=Kn1, K_new2=Kn2, P1=P1, P2=P2, Q=Q,
         baseline=baseline,

@@ -212,3 +212,66 @@ def test_rectified_image_pair_photometric(rng):
     err = np.concatenate(errs)
     assert np.median(err) < 0.01, f"median photometric error {np.median(err)}"
     assert np.mean(err) < 0.02, f"mean photometric error {np.mean(err)}"
+
+
+def test_vergence_zero_for_parallel_rig():
+    """A fronto-parallel rig (R = I, pure x baseline) has zero vergence."""
+    R = np.eye(3)
+    t = np.array([-0.54, 0.0, 0.0])
+    rect = rectify.stereo_rectify(
+        jnp.asarray(K1, jnp.float32), jnp.asarray(K2, jnp.float32),
+        jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), HW,
+    )
+    v = rectify.estimate_vergence(
+        jnp.asarray(R, jnp.float32), rect.R1, rect.R2, rect.P1, rect.P2
+    )
+    assert abs(int(v)) <= 1
+
+
+def test_vergence_verging_rig(rng):
+    """Cameras toed inward: vergence is positive and grows with the
+    verging angle (estimateVergence, pose_helper.cpp:2505-2535)."""
+    t = np.array([-0.54, 0.0, 0.0])
+    vs = []
+    for deg in (2.0, 5.0):
+        a = np.deg2rad(deg)
+        # rotate cam2 about +y toward cam1 (toe-in)
+        R = np.array([
+            [np.cos(a), 0, np.sin(a)],
+            [0, 1, 0],
+            [-np.sin(a), 0, np.cos(a)],
+        ])
+        rect = rectify.stereo_rectify(
+            jnp.asarray(K1, jnp.float32), jnp.asarray(K2, jnp.float32),
+            jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), HW,
+            zero_disparity=False,
+        )
+        vs.append(int(rectify.estimate_vergence(
+            jnp.asarray(R, jnp.float32), rect.R1, rect.R2, rect.P1,
+            rect.P2,
+        )))
+    assert abs(vs[1]) > abs(vs[0]), f"vergence not increasing: {vs}"
+    assert abs(vs[0]) > 0
+
+
+def test_vergence_kitti_calib():
+    """Bundled KITTI rig: near-parallel cameras -> small vergence."""
+    import pathlib
+    from matchinglib_poselib_tpu.utils import io as uio
+
+    calib_path = pathlib.Path(
+        "/root/reference/matchinglib_poselib/source/tests/poselib-test/"
+        "imgs/stereo/calib_cam_to_cam.txt"
+    )
+    if not calib_path.exists():
+        pytest.skip("reference stereo data not available")
+    c = uio.load_kitti_calib(calib_path)
+    rect = rectify.stereo_rectify(
+        jnp.asarray(c.K0, jnp.float32), jnp.asarray(c.K1, jnp.float32),
+        jnp.asarray(c.R, jnp.float32), jnp.asarray(c.t, jnp.float32),
+        (512, 1392), zero_disparity=False,
+    )
+    v = int(rectify.estimate_vergence(
+        jnp.asarray(c.R, jnp.float32), rect.R1, rect.R2, rect.P1, rect.P2
+    ))
+    assert abs(v) < 60, f"KITTI vergence unreasonable: {v}"
