@@ -169,4 +169,85 @@ rd_ba, td_ba, _ = geo.compare_poses(
 )
 assert float(rd_ba) < 0.05, f"proc {proc_id}: BA rot residual {float(rd_ba)}"
 print(f"proc {proc_id}: sharded BA ok (rd={float(rd_ba):.5f} deg)", flush=True)
+
+# --- 4. distributed BA multi-iteration == single-device ------------------
+# same problem, 8 LM iterations: the sharded solve (psum'd reduced camera
+# system across the process boundary) must converge to the SAME camera
+# blocks as ops.ba.bundle_adjust on one device
+res_1dev = ba.bundle_adjust(
+    jnp.asarray(args32(obs)), jnp.asarray(args32(vis)),
+    jnp.asarray(args32(Rp)), jnp.asarray(args32(tc)),
+    jnp.asarray(args32(Kc)), jnp.asarray(args32(distc)),
+    jnp.asarray(args32(X)), jnp.asarray(free),
+    iterations=8,
+)
+R_d = np.asarray(jax.device_get(res_d.R))
+t_d = np.asarray(jax.device_get(res_d.t))
+np.testing.assert_allclose(
+    R_d, np.asarray(res_1dev.R), atol=5e-5,
+    err_msg=f"proc {proc_id}: sharded BA cameras != single-device",
+)
+np.testing.assert_allclose(t_d, np.asarray(res_1dev.t), atol=5e-5)
+print(f"proc {proc_id}: sharded BA == single-device ok", flush=True)
+
+# --- 5. streaming path: sequential StereoRefine golden run vs the
+# frame-window-sharded consensus (SURVEY.md §5.7 sequence scaling) -------
+from matchinglib_poselib_tpu.config import (
+    PoseConfig, RobustConfig, StereoRefineConfig,
+)
+from matchinglib_poselib_tpu.models.stereo_refine import StereoRefine
+
+F_s, Kc_s = 8, 256
+Kmat = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+sr = StereoRefine(
+    Kmat, Kmat,
+    cfg=StereoRefineConfig(
+        max_pool_correspondences=2048,
+        pose=PoseConfig(
+            robust=RobustConfig(batch_hypotheses=64, max_batches=2)
+        ),
+    ),
+    seed=3,
+)
+frames = []
+for f in range(F_s):
+    Xf = np.stack([
+        rng.uniform(-2, 2, Kc_s), rng.uniform(-1.5, 1.5, Kc_s),
+        rng.uniform(4, 12, Kc_s),
+    ], axis=1)
+    x1f = Xf / Xf[:, 2:3]
+    X2f = Xf @ R_gt.T + t_gt
+    x2f = X2f / X2f[:, 2:3]
+    p1f = (x1f @ Kmat.T)[:, :2] + rng.normal(scale=0.3, size=(Kc_s, 2))
+    p2f = (x2f @ Kmat.T)[:, :2] + rng.normal(scale=0.3, size=(Kc_s, 2))
+    frames.append((p1f.astype(np.float32), p2f.astype(np.float32)))
+
+gold_R, gold_t, gold_w = [], [], []
+for p1f, p2f in frames:
+    st = sr.add_new_correspondences(p1f, p2f)
+    gold_R.append(st.R)
+    gold_t.append(st.t)
+    gold_w.append(max(st.inlier_ratio, 1e-3) * Kc_s)
+assert sr.nr_estimation >= F_s - 1, (
+    f"proc {proc_id}: golden StereoRefine rejected frames"
+)
+
+R_ml2, t_ml2, _ = stream.windowed_pose_consensus(
+    mesh,
+    put(np.stack(gold_R).astype(np.float32), P(PAIRS_AXIS)),
+    put(np.stack(gold_t).astype(np.float32), P(PAIRS_AXIS)),
+    put(np.asarray(gold_w, np.float32), P(PAIRS_AXIS)),
+)
+rd_s, td_s, _ = geo.compare_poses(
+    jnp.asarray(np.asarray(jax.device_get(R_ml2))),
+    jnp.asarray(np.asarray(jax.device_get(t_ml2))),
+    jnp.asarray(sr.R_most_likely.astype(np.float32)),
+    jnp.asarray(sr.t_most_likely.astype(np.float32)),
+)
+# the distributed consensus over the golden per-frame poses must agree
+# with the sequential framework's own most-likely pose
+assert float(rd_s) < 0.2, f"proc {proc_id}: stream consensus R {float(rd_s)}"
+assert float(td_s) < 1.0, f"proc {proc_id}: stream consensus t {float(td_s)}"
+print(f"proc {proc_id}: streaming consensus vs golden ok "
+      f"(rd={float(rd_s):.4f} deg)", flush=True)
 print(f"proc {proc_id}: ALL OK", flush=True)

@@ -37,7 +37,7 @@ def test_two_process_mesh():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=560)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
