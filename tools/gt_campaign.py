@@ -206,9 +206,24 @@ def main():
         "Generated by tools/gt_campaign.py.",
         "",
         "Halign (multi-plane homography alignment) is evaluated on BOTH a",
-        "general 3D scene (inl90, where it is expected to degrade: no",
-        "dominant planes to extract, exactly like the reference's",
-        "plane-based path) and a two-plane scene (planar90, its regime).",
+        "general 3D scene (inl90, where the reference's plane-based path",
+        "degrades by design — since round 4 it detects the failure",
+        "(error codes -1/-2, pose_homography.cpp:200-266) and falls back",
+        "to the robust-E menu) and a two-plane scene (planar90, its",
+        "regime).",
+        "",
+        "Reading the stereoref rows: the GT applies 0.05 deg/frame",
+        "rotation jitter around a fixed rig pose and scores each frame",
+        "against ITS OWN jittered pose, so any pool/mean-pose estimator",
+        "floors at the jitter radius — a PERFECT mean-pose oracle scores",
+        "R_diff mean 0.028-0.030 deg on these sequences, which is also",
+        "where the best single-frame configs land. The streaming path",
+        "therefore tracks the current frame from the pool seed",
+        "(rotation-only LM + margin-gated 5-DOF,",
+        "models/stereo_refine._track_frame_pose): rotation follows the",
+        "per-frame jitter while the translation keeps the pool mean",
+        "(whose per-frame t error is ~0.007 deg, far below any",
+        "single-frame estimate).",
         "",
         "| scenario_config | frames | R_diff mean/med/p95 (deg) |"
         " t_ang mean/med/p95 (deg) |",
