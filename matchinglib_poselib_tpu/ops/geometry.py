@@ -196,9 +196,14 @@ def symmetric_epipolar_error(E, x1, x2) -> jax.Array:
 def closest_essential(E: jax.Array) -> jax.Array:
     """Project onto the essential manifold: sv -> (s, s, 0), s = (s1+s2)/2.
 
-    Reference: pose_helper.cpp:152 getClosestE.
+    Reference: pose_helper.cpp:152 getClosestE. Uses the closed-form 3x3
+    SVD (ops/smalllinalg) — this projection sits inside the sequential
+    IRLS/LM refinement chains, where XLA's iterative SVD loop costs
+    dispatch latency per iteration.
     """
-    U, s, Vt = jnp.linalg.svd(E)
+    from matchinglib_poselib_tpu.ops import smalllinalg
+
+    U, s, Vt = smalllinalg.svd3x3(E)
     m = 0.5 * (s[..., 0] + s[..., 1])
     s_new = jnp.stack([m, m, jnp.zeros_like(m)], axis=-1)
     return (U * s_new[..., None, :]) @ Vt
@@ -441,7 +446,9 @@ def decompose_essential(E: jax.Array):
     Returns R1, R2 with det=+1 and unit t; the four poses are
     (R1, t), (R1, -t), (R2, t), (R2, -t).
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    from matchinglib_poselib_tpu.ops import smalllinalg
+
+    U, _, Vt = smalllinalg.svd3x3(E)
     # enforce proper rotations
     dU = jnp.linalg.det(U)
     dV = jnp.linalg.det(Vt)

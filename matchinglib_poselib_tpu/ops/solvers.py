@@ -208,8 +208,20 @@ def det_small(A: jax.Array) -> jax.Array:
 
 
 def nullspace_from_ata(A: jax.Array, k: int) -> jax.Array:
-    """k smallest-eigenvalue eigenvectors of A^T A. A: (..., M, N) -> (..., N, k)."""
+    """k smallest-eigenvalue eigenvectors of A^T A. A: (..., M, N) -> (..., N, k).
+
+    The unbatched k=1 case — the weighted 8pt refit inside the
+    sequential IRLS/LM refinement chains — uses closed-form shifted
+    inverse iteration (smalllinalg.min_eigvec_spd) instead of XLA's
+    iterative eigh: the design matrix's residual eigenvalue is well
+    separated there, and the eigh loop's dispatch latency is paid once
+    per refinement iteration. Batched / k>1 callers keep eigh.
+    """
     AtA = jnp.swapaxes(A, -1, -2) @ A
+    if k == 1 and AtA.ndim == 2:
+        from matchinglib_poselib_tpu.ops import smalllinalg
+
+        return smalllinalg.min_eigvec_spd(AtA)[:, None]
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     return vecs[..., :, :k]
 
