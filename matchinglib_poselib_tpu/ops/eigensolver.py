@@ -134,11 +134,14 @@ def solve_eigensolver(
     M = _m_matrix(R, b1, b2, w)
     evals, evecs = jnp.linalg.eigh(M)
     t = evecs[..., :, 0]
-    # sign by the epipolar-consistent triple product vote:
-    # for correct (R, t): sign of <t, b2 x R b1> correlates with parallax
-    Rb1 = jnp.einsum("ij,nj->ni", R, b1)
-    vote = jnp.sum(w * jnp.einsum("ni,i->n", jnp.cross(b2, Rb1), t))
-    t = jnp.where(vote < 0.0, -t, t)
+    # sign by cheirality: the eigenvector's sign is arbitrary, and the
+    # epipolar triple product <t, b2 x R b1> is ~0 for consistent data
+    # (it IS the epipolar residual), so only triangulated depths decide —
+    # count points in front of both cameras for +t vs -t
+    maskb = w > 0.0
+    n_pos, _, _ = geo.cheirality_counts(R, t, x1, x2, maskb)
+    n_neg, _, _ = geo.cheirality_counts(R, -t, x1, x2, maskb)
+    t = jnp.where(n_neg > n_pos, -t, t)
     E = geo.essential_from_rt(R, t)
     return EigensolverResult(R=R, t=t, E=E, eigenvalue=lam)
 
