@@ -92,13 +92,18 @@ def fast_score(img: jax.Array, threshold: float = 20.0 / 255.0) -> jax.Array:
     score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
 
     def arc9(flags):
-        # run of >= 9 around the 16-ring via a 24-long cumulative sum:
-        # window [s, s+9) is all-true iff cum[s+9] - cum[s] == 9
-        ext = jnp.concatenate([flags, flags[:8]], axis=0).astype(jnp.int8)
-        cum = jnp.cumsum(ext, axis=0, dtype=jnp.int8)  # (24, H, W) <= 24
-        acc = cum[8] == jnp.int8(9)  # window [0, 9)
+        # run of >= 9 around the 16-ring by AND-doubling: window [s, s+9)
+        # all-true == f[s] & f[s+1..] via a2/a4/a8 prefix ANDs. Pure
+        # elementwise bool chains XLA fuses into one kernel — the former
+        # int8 24-ring cumsum materialized s8[24, H, W] stacks plus a
+        # layout copy per arc (4 x ~140 us in the fused-step trace).
+        f = [flags[s] for s in range(16)]
+        a2 = [f[s] & f[(s + 1) % 16] for s in range(16)]
+        a4 = [a2[s] & a2[(s + 2) % 16] for s in range(16)]
+        a8 = [a4[s] & a4[(s + 4) % 16] for s in range(16)]
+        acc = a8[0] & f[8]
         for s in range(1, 16):
-            acc = acc | (cum[s + 8] - cum[s - 1] == jnp.int8(9))
+            acc = acc | (a8[s] & f[(s + 8) % 16])
         return acc
 
     is_corner = arc9(diff > threshold) | arc9(diff < -threshold)

@@ -30,7 +30,7 @@ from matchinglib_poselib_tpu.config import (
     RefineWeights,
 )
 from matchinglib_poselib_tpu.ops import geometry as geo
-from matchinglib_poselib_tpu.ops import solvers
+from matchinglib_poselib_tpu.ops import smalllinalg, solvers
 
 
 class RefineResult(NamedTuple):
@@ -112,6 +112,31 @@ def refine_essential_linear(
     inl0 = (err0 < m * threshold_sq) & maskb
     n0 = jnp.sum(inl0).astype(jnp.int32)
 
+    # hoist the weight-independent work out of the IRLS loop: the points
+    # never change across iterations, so the Hartley normalization and
+    # the DLT design rows are fixed — only the per-point weights vary.
+    # (The fixed normalization uses the starting band; conditioning, not
+    # exactness, is its job.) The loop body shrinks to one weighted
+    # 9x9 normal-matrix build + smallest-eigenvector solve + manifold
+    # projection — it sits on an 8-iteration sequential chain where
+    # per-iteration op latency is the cost (trace: 626 us for the chain).
+    maskb_f = inl0.astype(x1.dtype)
+    x1n, T1 = geo.normalize_points(x1, maskb_f)
+    x2n, T2 = geo.normalize_points(x2, maskb_f)
+    A_rows = solvers.epipolar_rows(x1n, x2n)  # (N, 9) fixed
+    T2t = jnp.swapaxes(T2, -1, -2)
+
+    def _refit(w):
+        Aw = A_rows * w[:, None]
+        AtA = Aw.T @ Aw
+        ns = smalllinalg.min_eigvec_spd(AtA)
+        En = ns.reshape(3, 3)
+        E_new = T2t @ En @ T1  # denormalize
+        E_new = geo.closest_essential(E_new)
+        nrm = jnp.sqrt(jnp.sum(E_new * E_new))
+        ok = jnp.isfinite(nrm) & (nrm > 1e-12)
+        return jnp.where(ok, E_new / jnp.maximum(nrm, 1e-12), E0), ok
+
     def body(i, carry):
         E, inl, n_inl = carry
         th_i = (m - (i + 1).astype(x1.dtype) * step) * threshold_sq
@@ -120,9 +145,7 @@ def refine_essential_linear(
         w = _weights(E, x1, x2, err, threshold_sq, cfg.weights) * band.astype(
             x1.dtype
         )
-        E_new, ok = solvers.solve_8pt(
-            x1, x2, mask=band.astype(x1.dtype), weights=w
-        )
+        E_new, ok = _refit(w)
         err_new = geo.sampson_error(E_new, x1, x2)
         inl_new = (err_new < threshold_sq) & maskb
         n_new = jnp.sum(inl_new).astype(jnp.int32)
