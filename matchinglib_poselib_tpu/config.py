@@ -71,6 +71,14 @@ class DetectorConfig:
     nms_radius: int = 3
     pyramid_levels: int = 1
     pyramid_scale: float = 1.25
+    # column-band-grouped grid selection (single-scale corner detectors
+    # only; 0 = legacy globally-refilled grid top-k). Bands give every
+    # cell an exact quota — the reference's responseFilterGridBased
+    # semantics — and group the output by column band, which lets patch
+    # extraction contract against a static 128-wide window instead of
+    # the full image width (features.extract_patches bands path; the
+    # largest MXU op of the fused step shrinks ~11x)
+    column_bands: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,10 +201,11 @@ class RefinementConfig:
     # 5-DOF pose, the TPU equivalent of the reference's nonlinear post-
     # refinement; see refine.polish_pose_sampson)
     polish_rt: bool = True
-    # LM converges in well under 8 steps per round from the warm starts the
-    # rounds provide (KITTI parity aggregates are bit-stable from 8 through
-    # 25 iterations; see PARITY_ACCURACY.md protocol)
-    polish_iterations: int = 8
+    # LM converges in well under 6 steps per round from the warm starts the
+    # rounds provide (KITTI parity aggregates at 6 match 8..25 iterations
+    # to 1e-4 deg; each polish round is a sequential ~40 us/iteration LM
+    # chain in the fused step, so don't raise idly)
+    polish_iterations: int = 6
     # polish runs on a fixed-size compaction of the support (top slots by
     # weight): LM cost is per-iteration op-latency bound, so shrinking the
     # point set cuts the pose-stage time without accuracy loss (KITTI

@@ -97,8 +97,9 @@ def get_correspondences(
 
     kps1 = features.detect_keypoints(img1, det_cfg)
     kps2 = features.detect_keypoints(img2, det_cfg)
-    d1, kps1 = features.compute_descriptors(img1, kps1, desc_cfg)
-    d2, kps2 = features.compute_descriptors(img2, kps2, desc_cfg)
+    bands = features.detector_bands(det_cfg)
+    d1, kps1 = features.compute_descriptors(img1, kps1, desc_cfg, bands=bands)
+    d2, kps2 = features.compute_descriptors(img2, kps2, desc_cfg, bands=bands)
 
     if is_bold:
         # BOLD carries (bits, stability-mask) words; the masked-Hamming

@@ -236,6 +236,70 @@ def select_keypoints_grid(
     return xy, top_vals, mask
 
 
+def select_keypoints_banded(
+    score: jax.Array,
+    max_keypoints: int,
+    bands: int = 16,
+    border: int = 16,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid-capped keypoint selection, output grouped by column band.
+
+    The per-cell-quota variant of the reference's responseFilterGridBased
+    (features.cpp:506 keeps the best responses per grid cell — there is
+    no global refill in the reference either): the image is divided into
+    ``bands`` column bands x R cell rows, each cell contributes exactly
+    its top max_keypoints/(bands*R) responses (masked when the cell has
+    fewer corners), and slot b*C..(b+1)*C-1 holds band b's keypoints.
+
+    The band-major output is the contract ``extract_patches`` exploits:
+    every keypoint in band b lies within a static 128-wide column window
+    of the image, which shrinks the patch-extraction contraction from
+    the full image width to one lane tile (90.5 -> 8.3 GFLOP at
+    2048 kp x 1392 px — the largest single MXU op of the fused step).
+    """
+    H, W = score.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    inb = (
+        (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    )
+    score = jnp.where(inb, score, 0.0)
+
+    C = max_keypoints // bands  # slots per band
+    gw = (W + bands - 1) // bands
+    # direct band-level top-C over each band's pixels (lax.top_k of a
+    # (bands, H*gw) view is ~30 us at 1392x512/16 bands): full response
+    # adaptivity inside a band — identical to the global top-k there —
+    # with only the cross-band capacity fixed. NMS already spaces the
+    # responses, so no per-cell quota is needed on top.
+    Wp = bands * gw
+    sp = jnp.zeros((H, Wp), score.dtype).at[:, :W].set(score)
+    bandscores = (
+        sp.reshape(H, bands, gw).transpose(1, 0, 2).reshape(bands, H * gw)
+    )
+    vsel, isel = jax.lax.top_k(bandscores, C)  # (bands, C)
+    ysel = isel // gw
+    xsel = jnp.arange(bands)[:, None] * gw + isel % gw
+    xy = jnp.stack(
+        [xsel.reshape(-1), ysel.reshape(-1)], axis=-1
+    ).astype(jnp.float32)
+    sc = vsel.reshape(-1)
+    mask = sc > 0.0
+    # masked slots keep in-band coordinates (the band window math stays
+    # valid for padded slots)
+    xy = jnp.where(
+        mask[:, None], xy,
+        jnp.stack(
+            [
+                (jnp.arange(max_keypoints) // C) * gw + gw // 2,
+                jnp.full((max_keypoints,), H // 2),
+            ],
+            axis=-1,
+        ).astype(jnp.float32),
+    )
+    return xy, sc, mask
+
+
 def _topk_small(x: jax.Array, k: int):
     """Exact top-k along the last axis by iterative max extraction.
 
@@ -289,7 +353,9 @@ def refine_subpixel(score: jax.Array, xy: jax.Array, mask: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
+def extract_patches(
+    img: jax.Array, xy: jax.Array, patch: int = 31, bands: int = 0
+):
     """(K, patch, patch) patches centered on integer keypoint locations.
 
     MXU formulation: patch_k = RowSel_k @ img @ ColSel_k^T with one-hot
@@ -298,7 +364,17 @@ def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
     matmuls are exactly what the MXU is for). bf16 selectors are exact
     (0/1); the image is rounded to bf16 (~3 decimal digits — immaterial for
     intensity comparisons and gradient histograms).
+
+    bands > 0 (CONTRACT: keypoints came from select_keypoints_banded
+    with the same band count, i.e. slot k's keypoint lies in column band
+    k // (K/bands)): the column contraction runs per band against a
+    static 128-wide window instead of the full image width — 90.5 ->
+    8.3 GFLOP at 2048 kp x 1392 px, the largest MXU saving available in
+    the fused step. Keypoints violating the contract get clamped
+    (wrong) patches — callers enable this only for banded selections.
     """
+    if bands > 0 and xy.shape[0] % bands == 0:
+        return _extract_patches_banded(img, xy, patch, bands)
     H, W = img.shape
     r = patch // 2
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W - patch)
@@ -328,6 +404,48 @@ def extract_patches(img: jax.Array, xy: jax.Array, patch: int = 31):
         precision=jax.lax.Precision.DEFAULT,
     )
     return patches
+
+
+def _extract_patches_banded(
+    img: jax.Array, xy: jax.Array, patch: int, B: int
+):
+    """Banded patch extraction (see extract_patches docstring)."""
+    H, W = img.shape
+    K = xy.shape[0]
+    C = K // B
+    r = patch // 2
+    gw = (W + B - 1) // B
+    Wb = ((gw + patch + 16 + 127) // 128) * 128  # static window, lane tile
+    Wpad = max(W, Wb)
+    imgp = img if Wpad == W else jnp.pad(img, ((0, 0), (0, Wpad - W)))
+    starts = [min(max(b * gw - r, 0), Wpad - Wb) for b in range(B)]
+    bandimg = jnp.stack(
+        [jax.lax.slice(imgp, (0, s), (H, s + Wb)) for s in starts]
+    )  # (B, H, Wb)
+
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W - patch)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, H - patch)
+    s_arr = jnp.asarray(starts, jnp.int32)
+    relx = jnp.clip(x0.reshape(B, C) - s_arr[:, None], 0, Wb - patch)
+    dy = jnp.arange(patch)
+    cols = relx[..., None] + dy  # (B, C, P)
+    csel = jax.nn.one_hot(cols, Wb, dtype=jnp.bfloat16)
+    tmp = jnp.einsum(
+        "bcpw,bhw->bcph",
+        csel,
+        bandimg.astype(jnp.bfloat16),
+        preferred_element_type=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(K, patch, H)
+    rows = y0[:, None] + dy
+    rsel = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
+    return jnp.einsum(
+        "krh,kch->krc",
+        rsel,
+        tmp,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
 
 
 def orientation_ic(patches: jax.Array) -> jax.Array:
@@ -664,9 +782,14 @@ def detect_keypoints(img: jax.Array, cfg: DetectorConfig) -> Keypoints:
         )
     score = _DETECTOR_FNS[kind](img, cfg)
     score = nms(score, cfg.nms_radius)
-    xy, sc, mask = select_keypoints_grid(
-        score, cfg.max_keypoints, cfg.grid_cells
-    )
+    if detector_bands(cfg):
+        xy, sc, mask = select_keypoints_banded(
+            score, cfg.max_keypoints, bands=cfg.column_bands
+        )
+    else:
+        xy, sc, mask = select_keypoints_grid(
+            score, cfg.max_keypoints, cfg.grid_cells
+        )
     xy = refine_subpixel(score, xy, mask)
     return Keypoints(
         xy=xy,
@@ -677,16 +800,40 @@ def detect_keypoints(img: jax.Array, cfg: DetectorConfig) -> Keypoints:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def detector_bands(cfg: DetectorConfig) -> int:
+    """Band count of cfg's keypoint layout, or 0 when not banded.
+
+    Single source of truth for the banded-selection contract between
+    detect_keypoints and extract_patches (pipeline passes this through
+    to compute_descriptors).
+    """
+    kind = DETECTOR_ALIASES.get(cfg.kind.upper(), "FAST")
+    scale_space = kind in (
+        "SIFT", "SURF", "STAR", "MSD", "MSER", "KAZE", "AKAZE"
+    ) or (kind in ("ORB", "BRISK") and cfg.pyramid_levels > 1)
+    if (
+        scale_space
+        or cfg.column_bands <= 0
+        or cfg.max_keypoints % cfg.column_bands != 0
+    ):
+        return 0
+    return cfg.column_bands
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bands"))
 def compute_descriptors(
-    img: jax.Array, kps: Keypoints, cfg: DescriptorConfig
+    img: jax.Array, kps: Keypoints, cfg: DescriptorConfig,
+    bands: int = 0,
 ) -> tuple[jax.Array, Keypoints]:
     """getDescriptors equivalent (features.cpp:397).
 
     Returns (descriptors, keypoints-with-orientation). Binary descriptors
     are (K, 8) uint32; float descriptors (K, 128) float32.
+
+    bands: pass features.detector_bands(det_cfg) when kps came from the
+    banded selection — enables the banded patch-extraction fast path.
     """
-    patches = extract_patches(img, kps.xy, cfg.patch_size)
+    patches = extract_patches(img, kps.xy, cfg.patch_size, bands=bands)
     angles = orientation_ic(patches) if cfg.oriented else jnp.zeros(
         patches.shape[0], img.dtype
     )

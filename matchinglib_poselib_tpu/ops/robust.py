@@ -428,6 +428,19 @@ def lo_refine_essential(
     """
     th = result.threshold
 
+    # hoist the weight-independent work (same rationale as
+    # refine.refine_essential_linear): fixed Hartley normalization from
+    # the starting inliers, fixed DLT rows; the loop body is a weighted
+    # 9x9 normal solve. The manifold projection happens once after the
+    # loop — Sampson scoring is well-defined for the raw DLT solution.
+    from matchinglib_poselib_tpu.ops import smalllinalg
+
+    inl0f = result.inlier_mask.astype(x1.dtype)
+    x1n, T1 = geo.normalize_points(x1, inl0f)
+    x2n, T2 = geo.normalize_points(x2, inl0f)
+    A_rows = solvers.epipolar_rows(x1n, x2n)
+    T2t = jnp.swapaxes(T2, -1, -2)
+
     def body(_, carry):
         model, inl, n_inl, n_lo = carry
         err = geo.sampson_error(model, x1, x2)
@@ -435,7 +448,12 @@ def lo_refine_essential(
         b2 = jnp.maximum(th, 1e-20)
         w = 1.0 / jnp.sqrt(jnp.sqrt(1.0 + err / b2))
         w = w * inl.astype(w.dtype)
-        E_new, ok = solvers.solve_8pt(x1, x2, mask=inl.astype(x1.dtype), weights=w)
+        Aw = A_rows * w[:, None]
+        ns = smalllinalg.min_eigvec_spd(Aw.T @ Aw, iterations=2)
+        E_new = T2t @ ns.reshape(3, 3) @ T1
+        nrm = jnp.sqrt(jnp.sum(E_new * E_new))
+        ok = jnp.isfinite(nrm) & (nrm > 1e-12)
+        E_new = jnp.where(ok, E_new / jnp.maximum(nrm, 1e-12), model)
         err_new = geo.sampson_error(E_new, x1, x2)
         inl_new = (err_new < th) & mask.astype(bool)
         n_new = jnp.sum(inl_new).astype(jnp.int32)

@@ -75,23 +75,25 @@ def main():
         pathlib.Path(files[-1]).read_bytes()
     )
     per_op = collections.Counter()
-    per_cat = collections.Counter()
+    cnt = collections.Counter()
     total = 0.0
     for plane in data.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+        if plane.name != "/device:TPU:0":
             continue
         for line in plane.lines:
-            lname = line.name or ""
-            if "XLA Op" in lname or "XLA Modules" in lname:
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 dur = ev.duration_ns / 1e3 / N_STEPS  # us per step
-                name = ev.name
-                per_op[name] += dur
+                per_op[ev.name] += dur
+                cnt[ev.name] += 1
                 total += dur
-    print(f"total device time per step: {total:.0f} us")
+    print(
+        f"total device-op time per step: {total:.0f} us; "
+        f"events/step: {sum(cnt.values()) // N_STEPS}"
+    )
     for name, us in per_op.most_common(45):
-        print(f"{us:9.1f} us  {name[:110]}")
+        print(f"{us:9.1f} us  n={cnt[name] // N_STEPS:5d}  {name[:100]}")
 
 
 if __name__ == "__main__":
