@@ -1180,7 +1180,13 @@ def solve_homography(
     A = homography_rows(x1n, x2n)
     w2 = jnp.repeat(w, 2, axis=-1)
     A = A * w2[..., None]
-    ns = nullspace_from_ata(A, 1)[..., 0]
+    if A.shape[-2] == A.shape[-1] - 1:
+        # minimal 4-point sample (8x9, exact rank 8): Householder-QR
+        # nullspace — XLA's batched eigh on the 9x9 normal matrices is
+        # an iterative loop that dominated the degeneracy H-RANSAC batch
+        ns = nullspace_qr(A)[..., 0]
+    else:
+        ns = nullspace_from_ata(A, 1)[..., 0]
     Hn = ns.reshape(ns.shape[:-1] + (3, 3))
     # denormalize: x2n ~ Hn x1n, x_n = T x  =>  H = T2^-1 Hn T1
     H = jnp.linalg.solve(T2, Hn @ T1)
