@@ -108,7 +108,10 @@ def bench_pipeline(i1, i2, K1, K2, d1, d2):
         return res.R, res.t, res.n_inliers
 
     stepj = jax.jit(step, static_argnums=(2,))
-    dt = _time(lambda: stepj(i1, i2, 0), n_iter=50)
+    # min of 3 timing passes: the tunneled chip shows ±4-6% run-to-run
+    # interference (host dispatch hiccups); the minimum is the intrinsic
+    # step cost — interference only ever adds time
+    dt = min(_time(lambda: stepj(i1, i2, 0), n_iter=50) for _ in range(3))
     fps = 1.0 / dt
 
     # end-to-end roofline: XLA's own cost model for the fused program
