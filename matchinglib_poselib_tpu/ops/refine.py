@@ -126,32 +126,34 @@ def refine_essential_linear(
     A_rows = solvers.epipolar_rows(x1n, x2n)  # (N, 9) fixed
     T2t = jnp.swapaxes(T2, -1, -2)
 
-    def _refit(w):
+    def _refit(w, ns_prev):
         Aw = A_rows * w[:, None]
         AtA = Aw.T @ Aw
         # 2 inverse iterations suffice: the residual eigenvalue of real
-        # refit data is orders below lambda_2. The essential-manifold
-        # projection is NOT applied per iteration — Sampson scoring and
-        # the IRLS weights are well-defined for the raw DLT solution,
-        # and the single projection after the loop (below) lands the
-        # final model on the manifold; a per-iteration Jacobi projection
-        # is ~150 sequential scalar ops on an 8-deep latency chain.
-        ns = smalllinalg.min_eigvec_spd(AtA, iterations=2)
+        # refit data is orders below lambda_2, and the previous
+        # iteration's nullvector warm-starts the iteration (guaranteed
+        # O(1) overlap with the target — ADVICE r4). The essential-
+        # manifold projection is NOT applied per iteration — Sampson
+        # scoring and the IRLS weights are well-defined for the raw DLT
+        # solution, and the single projection after the loop (below)
+        # lands the final model on the manifold; a per-iteration Jacobi
+        # projection is ~150 sequential scalar ops on an 8-deep chain.
+        ns = smalllinalg.min_eigvec_spd(AtA, iterations=2, v0=ns_prev)
         En = ns.reshape(3, 3)
         E_new = T2t @ En @ T1  # denormalize
         nrm = jnp.sqrt(jnp.sum(E_new * E_new))
         ok = jnp.isfinite(nrm) & (nrm > 1e-12)
-        return jnp.where(ok, E_new / jnp.maximum(nrm, 1e-12), E0), ok
+        return jnp.where(ok, E_new / jnp.maximum(nrm, 1e-12), E0), ok, ns
 
     def body(i, carry):
-        E, inl, n_inl = carry
+        E, inl, n_inl, ns_prev = carry
         th_i = (m - (i + 1).astype(x1.dtype) * step) * threshold_sq
         err = geo.sampson_error(E, x1, x2)
         band = (err < th_i) & maskb
         w = _weights(E, x1, x2, err, threshold_sq, cfg.weights) * band.astype(
             x1.dtype
         )
-        E_new, ok = _refit(w)
+        E_new, ok, ns = _refit(w, ns_prev)
         err_new = geo.sampson_error(E_new, x1, x2)
         inl_new = (err_new < threshold_sq) & maskb
         n_new = jnp.sum(inl_new).astype(jnp.int32)
@@ -162,11 +164,26 @@ def refine_essential_linear(
         E = jnp.where(keep, E_new, E)
         inl = jnp.where(keep, inl_new, inl)
         n_inl = jnp.where(keep, n_new, n_inl)
-        return E, inl, n_inl
+        # the fresh nullvector warm-starts the next refit even when the
+        # model update is rejected (it is still the best available seed
+        # for the shrinking-band problem)
+        return E, inl, n_inl, jnp.where(ok, ns, ns_prev)
 
     inl_init = (err0 < threshold_sq) & maskb
-    E, inl, n_inl = jax.lax.fori_loop(
-        0, iters, body, (E0, inl_init, jnp.sum(inl_init).astype(jnp.int32))
+    # seed the warm start with the initial model expressed in the
+    # normalized frame (En = T2^-T E0 T1^-1 up to scale; the inverse of
+    # the similarity T = [[s,0,tx],[0,s,ty],[0,0,1]] is closed-form)
+    def _inv_sim(T):
+        s = T[0, 0]
+        return jnp.asarray(
+            [[1.0 / s, 0.0, -T[0, 2] / s],
+             [0.0, 1.0 / s, -T[1, 2] / s],
+             [0.0, 0.0, 1.0]], T.dtype)
+
+    ns0 = (_inv_sim(T2).T @ E0 @ _inv_sim(T1)).reshape(9)
+    E, inl, n_inl, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (E0, inl_init, jnp.sum(inl_init).astype(jnp.int32), ns0),
     )
     E = geo.closest_essential(E)
     if cfg.solver == MinimalSolver.KNEIP:
@@ -326,8 +343,22 @@ def polish_pose_sampson(
 
     ndof = 3 if rotation_only else 5
 
-    def step(carry, _):
-        Rc, tc, cost, lam = carry
+    # convergence latch: the LM chain is the sequential-latency backbone
+    # of the pose stage (~40 us/iteration in the fused step); from the
+    # warm starts the surrounding rounds provide it typically converges
+    # in 2-4 steps, so a while_loop that exits once the accepted step is
+    # below tol (or damping has blown up = stalled) skips only no-op
+    # iterations — accuracy-neutral by construction. tol is in scaled
+    # tangent units (residuals are Sampson/threshold): 1e-6 corresponds
+    # to a ~1e-6 rad pose change, orders below the accuracy floor.
+    tol = jnp.asarray(1e-6, dtype)
+
+    def cond(carry):
+        _, _, _, lam, i, done = carry
+        return (i < iterations) & ~done
+
+    def step(carry):
+        Rc, tc, cost, lam, i, done = carry
         B = _t_basis(tc)
 
         def new_pose(p):
@@ -360,11 +391,15 @@ def polish_pose_sampson(
         tc = jnp.where(ok, t_new, tc)
         cost = jnp.where(ok, cost_new, cost)
         lam = jnp.where(ok, lam * 0.33, lam * 4.0)
-        return (Rc, tc, cost, lam), None
+        step_sq = jnp.sum(delta * delta)
+        done = (ok & (step_sq < tol * tol)) | (lam > 1e8)
+        return Rc, tc, cost, lam, i + 1, done
 
     cost0 = robust_cost(signed_sampson(R, t))
-    (Rf, tf, costf, _), _ = jax.lax.scan(
-        step, (R, t, cost0, jnp.asarray(1e-3, dtype)), None, length=iterations
+    Rf, tf, costf, _, _, _ = jax.lax.while_loop(
+        cond, step,
+        (R, t, cost0, jnp.asarray(1e-3, dtype), jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
     )
     return PolishResult(R=Rf, t=tf, E=geo.skew(tf) @ Rf, cost=costf)
 
@@ -429,16 +464,41 @@ def polish_pose_iterative(
     if pw is not None:
         wc = wc * jnp.maximum(pw, 1e-3)
 
-    pol = None
-    for _ in range(rounds):
+    # rounds latch: alternate LM polish and support re-selection until the
+    # (pose, support) pair reaches its joint fixed point, then stop — once
+    # a round changes the pose by < 2e-5 rad AND leaves the support set
+    # unchanged, every further round is a no-op (same input -> same LM
+    # minimum), so the dynamic exit is exactly accuracy-preserving while
+    # skipping the tail rounds' sequential LM chains.
+    def cond(carry):
+        _, _, _, _, k, done = carry
+        return (k < rounds) & ~done
+
+    def body(carry):
+        Rc, tc, wcur, cost, k, _ = carry
         pol = polish_pose_sampson(
-            R, t, x1c, x2c, wc, threshold_sq, iterations=iterations,
+            Rc, tc, x1c, x2c, wcur, threshold_sq, iterations=iterations,
             rotation_only=rotation_only,
         )
-        R, t = pol.R, pol.t
         err = geo.sampson_error(pol.E, x1c, x2c)
-        wc = ((err < threshold_sq) & validc).astype(dtype)
+        w_new = ((err < threshold_sq) & validc).astype(dtype)
         if pw is not None:
-            wc = wc * jnp.maximum(pw, 1e-3)
+            w_new = w_new * jnp.maximum(pw, 1e-3)
+        # pose delta: rotation angle via trace, translation angle via dot
+        ctr = 0.5 * (jnp.trace(pol.R @ Rc.T) - 1.0)
+        rot_close = ctr > jnp.cos(jnp.asarray(2e-5, dtype))
+        t_close = jnp.abs(jnp.sum(pol.t * tc)) > jnp.cos(
+            jnp.asarray(2e-5, dtype)
+        )
+        support_same = jnp.all(w_new == wcur)
+        done = rot_close & t_close & support_same
+        return pol.R, pol.t, w_new, pol.cost, k + 1, done
+
+    R, t, wc, cost, _, _ = jax.lax.while_loop(
+        cond, body,
+        (R, t, wc, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
+    )
+    pol = PolishResult(R=R, t=t, E=geo.skew(t) @ R, cost=cost)
     err_full = geo.sampson_error(pol.E, x1, x2)
     return pol, (err_full < threshold_sq) & valid

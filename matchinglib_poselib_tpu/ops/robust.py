@@ -441,15 +441,25 @@ def lo_refine_essential(
     A_rows = solvers.epipolar_rows(x1n, x2n)
     T2t = jnp.swapaxes(T2, -1, -2)
 
-    def body(_, carry):
-        model, inl, n_inl, n_lo = carry
+    # convergence latch: each LO round is a weighted refit + full rescore
+    # on a sequential chain; once the refit reproduces the current model
+    # (E delta below tol, sign-invariant) further rounds are no-ops, so a
+    # dynamic while_loop exit is accuracy-neutral and trims the chain.
+    def cond(carry):
+        _, _, _, _, _, i, done = carry
+        return (i < iterations) & ~done
+
+    def body(carry):
+        model, inl, n_inl, n_lo, ns_prev, i, _ = carry
         err = geo.sampson_error(model, x1, x2)
         # pseudo-Huber weights on the current inliers
         b2 = jnp.maximum(th, 1e-20)
         w = 1.0 / jnp.sqrt(jnp.sqrt(1.0 + err / b2))
         w = w * inl.astype(w.dtype)
         Aw = A_rows * w[:, None]
-        ns = smalllinalg.min_eigvec_spd(Aw.T @ Aw, iterations=2)
+        # warm-start the inverse iteration with the previous nullvector
+        # (guaranteed O(1) overlap with the target — ADVICE r4)
+        ns = smalllinalg.min_eigvec_spd(Aw.T @ Aw, iterations=2, v0=ns_prev)
         E_new = T2t @ ns.reshape(3, 3) @ T1
         nrm = jnp.sqrt(jnp.sum(E_new * E_new))
         ok = jnp.isfinite(nrm) & (nrm > 1e-12)
@@ -458,16 +468,30 @@ def lo_refine_essential(
         inl_new = (err_new < th) & mask.astype(bool)
         n_new = jnp.sum(inl_new).astype(jnp.int32)
         keep = ok & (n_new >= n_inl)
+        # sign-invariant model delta (E is defined up to sign)
+        d1 = jnp.sum((E_new - model) ** 2)
+        d2 = jnp.sum((E_new + model) ** 2)
+        done = keep & (jnp.minimum(d1, d2) < 1e-14)
         model = jnp.where(keep, E_new, model)
         inl = jnp.where(keep, inl_new, inl)
         n_inl = jnp.where(keep, n_new, n_inl)
         n_lo = n_lo + keep.astype(jnp.int32)
-        return model, inl, n_inl, n_lo
+        return (model, inl, n_inl, n_lo, jnp.where(ok, ns, ns_prev),
+                i + 1, done)
 
-    model, inl, n_inl, n_lo = jax.lax.fori_loop(
-        0, iterations, body,
+    def _inv_sim(T):
+        s = T[0, 0]
+        return jnp.asarray(
+            [[1.0 / s, 0.0, -T[0, 2] / s],
+             [0.0, 1.0 / s, -T[1, 2] / s],
+             [0.0, 0.0, 1.0]], T.dtype)
+
+    ns0 = (_inv_sim(T2).T @ result.model @ _inv_sim(T1)).reshape(9)
+    model, inl, n_inl, n_lo, _, _, _ = jax.lax.while_loop(
+        cond, body,
         (result.model, result.inlier_mask, result.n_inliers,
-         jnp.asarray(0, jnp.int32)),
+         jnp.asarray(0, jnp.int32), ns0, jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
     )
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return result._replace(
@@ -637,7 +661,18 @@ def estimate_essential_robust(
                  prior_inlier_ratio=prior_inlier_ratio)
     if cfg.lo_refine:
         res = lo_refine_essential(res, x1, x2, mask, cfg.lo_inner_iterations)
-        res = res._replace(model=geo.closest_essential(res.model))
+        # re-classify against the PROJECTED model so the returned mask and
+        # counters agree with the returned model (the raw DLT iterate and
+        # its manifold projection can disagree at the threshold edge —
+        # ADVICE r4)
+        E_proj = geo.closest_essential(res.model)
+        err_p = geo.sampson_error(E_proj, x1, x2)
+        inl_p = (err_p < res.threshold) & mask.astype(bool)
+        res = res._replace(
+            model=E_proj,
+            inlier_mask=inl_p,
+            n_inliers=jnp.sum(inl_p).astype(jnp.int32),
+        )
     if cfg.check_degeneracy:
         degen = analyze_degeneracy(
             res, x1, x2, mask, cfg, jax.random.fold_in(key, 777)

@@ -251,21 +251,38 @@ def chol_solve_unrolled(A: jax.Array, B: jax.Array) -> jax.Array:
     return out[:, 0] if vec else out
 
 
-def min_eigvec_spd(A: jax.Array, iterations: int = 4) -> jax.Array:
+def min_eigvec_spd(
+    A: jax.Array, iterations: int = 4, v0: jax.Array | None = None
+) -> jax.Array:
     """Smallest eigenvector of a PSD NxN (static N) by inverse iteration.
 
     Replaces ``jnp.linalg.eigh(A)[1][:, 0]`` on sequential chains (the
     IRLS 8pt nullspace: A = AtA of the epipolar design matrix, whose
     smallest eigenvalue is the fit residual — well separated from the
     rest for real data). A relative ridge keeps the unrolled Cholesky
-    finite when A is numerically singular; the deterministic start
-    vector is deflated through the iteration by the solve itself.
+    finite when A is numerically singular.
+
+    v0: optional warm start (the caller's current solution in the IRLS /
+    LO refit loops). The all-ones fallback start can be near-orthogonal
+    to the target for structured problems (e.g. vec(E) with entries
+    summing to ~0 for near-axis-aligned translations), in which case a
+    2-iteration budget relies on roundoff seeding; blending v0 with the
+    ones vector guarantees O(1) overlap whenever the caller's previous
+    iterate is close, while keeping the generic component as a fallback.
     """
     n = A.shape[0]
     ridge = 1e-6 * jnp.trace(A) / n + 1e-30
     As = A + ridge * jnp.eye(n, dtype=A.dtype)
     # deterministic, generic start
-    v = jnp.ones((n,), A.dtype) / jnp.sqrt(jnp.asarray(n, A.dtype))
+    ones = jnp.ones((n,), A.dtype) / jnp.sqrt(jnp.asarray(n, A.dtype))
+    if v0 is None:
+        v = ones
+    else:
+        v0n = v0 / jnp.sqrt(jnp.maximum(jnp.sum(v0 * v0), 1e-38))
+        v = v0n + 0.125 * ones
+        # a non-finite or zero warm start degrades to the generic start
+        v = jnp.where(jnp.all(jnp.isfinite(v)), v, ones)
+        v = v / jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-38))
     for _ in range(iterations):
         v = chol_solve_unrolled(As, v)
         v = v / jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-38))

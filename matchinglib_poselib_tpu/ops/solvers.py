@@ -1183,7 +1183,13 @@ def solve_homography(
     if A.shape[-2] == A.shape[-1] - 1:
         # minimal 4-point sample (8x9, exact rank 8): Householder-QR
         # nullspace — XLA's batched eigh on the 9x9 normal matrices is
-        # an iterative loop that dominated the degeneracy H-RANSAC batch
+        # an iterative loop that dominated the degeneracy H-RANSAC batch.
+        # PRECONDITION: nullspace_qr assumes full row rank 8; degenerate
+        # samples (collinear / coincident points) yield an arbitrary
+        # vector rather than the least-squares nullvector. That is
+        # acceptable here by design: minimal samples only feed RANSAC
+        # scoring, which rejects the resulting garbage models the same
+        # way the reference's kernel rejects degenerate DLT solutions.
         ns = nullspace_qr(A)[..., 0]
     else:
         ns = nullspace_from_ata(A, 1)[..., 0]
