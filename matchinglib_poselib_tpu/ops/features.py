@@ -241,6 +241,7 @@ def select_keypoints_banded(
     max_keypoints: int,
     bands: int = 16,
     border: int = 16,
+    nms_radius: int = 3,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Grid-capped keypoint selection, output grouped by column band.
 
@@ -267,24 +268,44 @@ def select_keypoints_banded(
 
     C = max_keypoints // bands  # slots per band
     gw = (W + bands - 1) // bands
-    # direct band-level top-C over each band's pixels (lax.top_k of a
-    # (bands, H*gw) view is ~30 us at 1392x512/16 bands): full response
-    # adaptivity inside a band — identical to the global top-k there —
-    # with only the cross-band capacity fixed. NMS already spaces the
-    # responses, so no per-cell quota is needed on top.
+    # band-level top-C over each band's pixels: full response adaptivity
+    # inside a band — identical to the global top-k there — with only
+    # the cross-band capacity fixed. NMS already spaces the responses,
+    # so no per-cell quota is needed on top.
+    #
+    # block pre-reduction (EXACT for blk <= nms_radius + 1): NMS with
+    # window (2r+1)^2 guarantees two survivors are >= r+1 apart in
+    # L-inf (up to exact-score ties, which NMS itself keeps and the
+    # reference dedups anyway), so max+argmax over blk x blk blocks with
+    # blk <= r+1 keeps every survivor and shrinks the top_k operand
+    # blk^2-fold. The band top_k over the raw (bands, H*gw) view was
+    # the single most expensive op of the detect stage (~366 us/image
+    # at 1392x512, slope-timed), and its vmap falls back to a full
+    # O(n log n) sort — the round-4 batched-8 regression; the 16x
+    # smaller operand fixes both.
+    blk = min(4, max(nms_radius + 1, 1))
     Wp = bands * gw
     sp = jnp.zeros((H, Wp), score.dtype).at[:, :W].set(score)
-    bandscores = (
-        sp.reshape(H, bands, gw).transpose(1, 0, 2).reshape(bands, H * gw)
+    Hb = ((H + blk - 1) // blk) * blk
+    gwb = ((gw + blk - 1) // blk) * blk
+    bs = jnp.zeros((bands, Hb, gwb), score.dtype)
+    bs = bs.at[:, :H, :gw].set(
+        sp.reshape(H, bands, gw).transpose(1, 0, 2)
     )
-    # materialize the band view before the sort: without the barrier XLA
-    # feeds the top-k custom call from the fused transpose view, and the
-    # sort runs ~10x slower than on a contiguous operand (345 vs ~30 us
-    # in the fused-step trace)
-    bandscores = jax.lax.optimization_barrier(bandscores)
-    vsel, isel = jax.lax.top_k(bandscores, C)  # (bands, C)
-    ysel = isel // gw
-    xsel = jnp.arange(bands)[:, None] * gw + isel % gw
+    nby, nbx = Hb // blk, gwb // blk
+    blocks = (
+        bs.reshape(bands, nby, blk, nbx, blk)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(bands, nby * nbx, blk * blk)
+    )
+    bmax = jnp.max(blocks, axis=-1)  # (bands, nblocks)
+    barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)
+    vsel, bidx = jax.lax.top_k(bmax, C)  # (bands, C)
+    inblk = jnp.take_along_axis(barg, bidx, axis=1)  # (bands, C)
+    ysel = (bidx // nbx) * blk + inblk // blk
+    xsel = jnp.arange(bands)[:, None] * gw + jnp.minimum(
+        (bidx % nbx) * blk + inblk % blk, gw - 1
+    )
     xy = jnp.stack(
         [xsel.reshape(-1), ysel.reshape(-1)], axis=-1
     ).astype(jnp.float32)
@@ -789,7 +810,8 @@ def detect_keypoints(img: jax.Array, cfg: DetectorConfig) -> Keypoints:
     score = nms(score, cfg.nms_radius)
     if detector_bands(cfg):
         xy, sc, mask = select_keypoints_banded(
-            score, cfg.max_keypoints, bands=cfg.column_bands
+            score, cfg.max_keypoints, bands=cfg.column_bands,
+            nms_radius=cfg.nms_radius,
         )
     else:
         xy, sc, mask = select_keypoints_grid(

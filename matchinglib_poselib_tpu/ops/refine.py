@@ -346,12 +346,15 @@ def polish_pose_sampson(
     # convergence latch: the LM chain is the sequential-latency backbone
     # of the pose stage (~40 us/iteration in the fused step); from the
     # warm starts the surrounding rounds provide it typically converges
-    # in 2-4 steps, so a while_loop that exits once the accepted step is
-    # below tol (or damping has blown up = stalled) skips only no-op
-    # iterations — accuracy-neutral by construction. tol is in scaled
-    # tangent units (residuals are Sampson/threshold): 1e-6 corresponds
-    # to a ~1e-6 rad pose change, orders below the accuracy floor.
-    tol = jnp.asarray(1e-6, dtype)
+    # in 3-4 steps (measured step-norm history on KITTI: 1.8e-2 ->
+    # 8e-4 -> 4e-5 -> 2e-6 rad), so a while_loop that exits once the
+    # PROPOSED step is below tol skips only no-op iterations. The
+    # tangent parameters are radians; tol = 1e-5 rad = 6e-4 deg, ~50x
+    # below the parity noise floor. A rejected tiny step fires the
+    # latch too — at the minimum, LM proposes tiny steps that cannot
+    # reduce the cost, and retrying them at higher damping only
+    # shrinks them further.
+    tol = jnp.asarray(1e-5, dtype)
 
     def cond(carry):
         _, _, _, lam, i, done = carry
@@ -392,7 +395,7 @@ def polish_pose_sampson(
         cost = jnp.where(ok, cost_new, cost)
         lam = jnp.where(ok, lam * 0.33, lam * 4.0)
         step_sq = jnp.sum(delta * delta)
-        done = (ok & (step_sq < tol * tol)) | (lam > 1e8)
+        done = (step_sq < tol * tol) | (lam > 1e8)
         return Rc, tc, cost, lam, i + 1, done
 
     cost0 = robust_cost(signed_sampson(R, t))
