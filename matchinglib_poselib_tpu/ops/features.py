@@ -83,21 +83,25 @@ def fast_score(img: jax.Array, threshold: float = 20.0 / 255.0) -> jax.Array:
     cumulative sum (window-of-9 sum == 9). Bit-identical corner decisions
     and scores to the direct formulation.
     """
-    ring = jnp.stack(
-        [_shift2d(img, int(dy), int(dx)) for dy, dx in _FAST_RING], axis=0
-    )  # (16, H, W)
-    diff = ring - img[None]
+    # per-position 2D arrays, never a stacked (16, H, W) tensor: the
+    # explicit stack defeats XLA's pointwise fusion under vmap — the
+    # batched program materialized the f32[B, 16, H, W] ring (~730 MB at
+    # B=16 images) plus matching pred stacks, which alone cost more HBM
+    # time than the whole single-image detect
+    diffs = [
+        _shift2d(img, int(dy), int(dx)) - img for dy, dx in _FAST_RING
+    ]
     # scores: sum over the qualifying polarity of |diff| - t == relu sums
-    score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+    score_b = diffs[0] * 0.0
+    score_d = diffs[0] * 0.0
+    for d in diffs:
+        score_b = score_b + jnp.maximum(d - threshold, 0.0)
+        score_d = score_d + jnp.maximum(-d - threshold, 0.0)
 
-    def arc9(flags):
+    def arc9(f):
         # run of >= 9 around the 16-ring by AND-doubling: window [s, s+9)
         # all-true == f[s] & f[s+1..] via a2/a4/a8 prefix ANDs. Pure
-        # elementwise bool chains XLA fuses into one kernel — the former
-        # int8 24-ring cumsum materialized s8[24, H, W] stacks plus a
-        # layout copy per arc (4 x ~140 us in the fused-step trace).
-        f = [flags[s] for s in range(16)]
+        # elementwise bool chains XLA fuses into one kernel.
         a2 = [f[s] & f[(s + 1) % 16] for s in range(16)]
         a4 = [a2[s] & a2[(s + 2) % 16] for s in range(16)]
         a8 = [a4[s] & a4[(s + 4) % 16] for s in range(16)]
@@ -106,7 +110,9 @@ def fast_score(img: jax.Array, threshold: float = 20.0 / 255.0) -> jax.Array:
             acc = acc | (a8[s] & f[(s + 8) % 16])
         return acc
 
-    is_corner = arc9(diff > threshold) | arc9(diff < -threshold)
+    is_corner = arc9([d > threshold for d in diffs]) | arc9(
+        [d < -threshold for d in diffs]
+    )
     score = jnp.maximum(score_b, score_d)
     return jnp.where(is_corner, score, 0.0)
 
@@ -236,6 +242,17 @@ def select_keypoints_grid(
     return xy, top_vals, mask
 
 
+def band_width(width: int, bands: int) -> int:
+    """Pixel width of one column band, aligned up to a multiple of 4.
+
+    Single source of truth shared by select_keypoints_banded and
+    _extract_patches_banded (the banded-slot contract): the alignment
+    lets the selection's blk x blk block-reduced grid divide evenly
+    into bands for every supported blk (1, 2, 4).
+    """
+    return ((width + bands - 1) // bands + 3) // 4 * 4
+
+
 def select_keypoints_banded(
     score: jax.Array,
     max_keypoints: int,
@@ -267,44 +284,47 @@ def select_keypoints_banded(
     score = jnp.where(inb, score, 0.0)
 
     C = max_keypoints // bands  # slots per band
-    gw = (W + bands - 1) // bands
+    gw = band_width(W, bands)
     # band-level top-C over each band's pixels: full response adaptivity
     # inside a band — identical to the global top-k there — with only
     # the cross-band capacity fixed. NMS already spaces the responses,
     # so no per-cell quota is needed on top.
     #
-    # block pre-reduction (EXACT for blk <= nms_radius + 1): NMS with
-    # window (2r+1)^2 guarantees two survivors are >= r+1 apart in
+    # block pre-reduction FIRST (EXACT for blk <= nms_radius + 1): NMS
+    # with window (2r+1)^2 guarantees two survivors are >= r+1 apart in
     # L-inf (up to exact-score ties, which NMS itself keeps and the
-    # reference dedups anyway), so max+argmax over blk x blk blocks with
-    # blk <= r+1 keeps every survivor and shrinks the top_k operand
-    # blk^2-fold. The band top_k over the raw (bands, H*gw) view was
-    # the single most expensive op of the detect stage (~366 us/image
-    # at 1392x512, slope-timed), and its vmap falls back to a full
-    # O(n log n) sort — the round-4 batched-8 regression; the 16x
-    # smaller operand fixes both.
-    blk = min(4, max(nms_radius + 1, 1))
-    Wp = bands * gw
-    sp = jnp.zeros((H, Wp), score.dtype).at[:, :W].set(score)
+    # reference dedups anyway), so max+argmax over blk x blk blocks
+    # keeps every survivor and shrinks the top_k operand blk^2-fold.
+    # The band top_k over the raw (bands, H*gw) view was the single
+    # most expensive op of the detect stage (~366 us/image at 1392x512,
+    # slope-timed), and its vmap falls back to a full O(n log n) sort —
+    # the round-4 batched-8 regression. Reducing BEFORE the band split
+    # keeps every reshuffle (band transpose, padding) on the blk^2-x
+    # smaller grid, so the whole selection fuses cleanly under vmap.
+    blk = 4 if nms_radius >= 3 else (2 if nms_radius >= 1 else 1)
+    Wq = bands * gw
     Hb = ((H + blk - 1) // blk) * blk
-    gwb = ((gw + blk - 1) // blk) * blk
-    bs = jnp.zeros((bands, Hb, gwb), score.dtype)
-    bs = bs.at[:, :H, :gw].set(
-        sp.reshape(H, bands, gw).transpose(1, 0, 2)
-    )
-    nby, nbx = Hb // blk, gwb // blk
+    sp = jnp.zeros((Hb, Wq), score.dtype).at[:H, :W].set(score)
+    nby, ngx = Hb // blk, Wq // blk
     blocks = (
-        bs.reshape(bands, nby, blk, nbx, blk)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(bands, nby * nbx, blk * blk)
+        sp.reshape(nby, blk, ngx, blk).transpose(0, 2, 1, 3).reshape(
+            nby, ngx, blk * blk
+        )
     )
-    bmax = jnp.max(blocks, axis=-1)  # (bands, nblocks)
+    bmax = jnp.max(blocks, axis=-1)  # (nby, ngx) reduced grid
     barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)
-    vsel, bidx = jax.lax.top_k(bmax, C)  # (bands, C)
-    inblk = jnp.take_along_axis(barg, bidx, axis=1)  # (bands, C)
-    ysel = (bidx // nbx) * blk + inblk // blk
+    gwr = gw // blk  # reduced band width (gw is 4-aligned, blk | 4)
+    bm = bmax.reshape(nby, bands, gwr).transpose(1, 0, 2).reshape(
+        bands, nby * gwr
+    )
+    ba = barg.reshape(nby, bands, gwr).transpose(1, 0, 2).reshape(
+        bands, nby * gwr
+    )
+    vsel, ridx = jax.lax.top_k(bm, C)  # (bands, C)
+    inblk = jnp.take_along_axis(ba, ridx, axis=1)  # (bands, C)
+    ysel = (ridx // gwr) * blk + inblk // blk
     xsel = jnp.arange(bands)[:, None] * gw + jnp.minimum(
-        (bidx % nbx) * blk + inblk % blk, gw - 1
+        (ridx % gwr) * blk + inblk % blk, gw - 1
     )
     xy = jnp.stack(
         [xsel.reshape(-1), ysel.reshape(-1)], axis=-1
@@ -440,7 +460,7 @@ def _extract_patches_banded(
     K = xy.shape[0]
     C = K // B
     r = patch // 2
-    gw = (W + B - 1) // B
+    gw = band_width(W, B)
     Wb = ((gw + patch + 16 + 127) // 128) * 128  # static window, lane tile
     Wpad = max(W, Wb)
     imgp = img if Wpad == W else jnp.pad(img, ((0, 0), (0, Wpad - W)))
