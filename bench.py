@@ -114,6 +114,22 @@ def bench_pipeline(i1, i2, K1, K2, d1, d2):
     dt = min(_time(lambda: stepj(i1, i2, 0), n_iter=50) for _ in range(3))
     fps = 1.0 / dt
 
+    # pipelined throughput (supplementary): slope of wall over extra
+    # iterations with a device-fetch drain — cancels the constant
+    # per-dispatch/queue overheads of the tunneled runtime that the
+    # timed loop above counts once per frame. This is the streaming
+    # throughput a dispatch-pipelined deployment sees.
+    def _wall(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = stepj(i1, i2, 0)
+        _ = np.asarray(out[2]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    _wall(30)
+    dt_slope = (_wall(200) - _wall(100)) / 100
+    fps_pipelined = 1.0 / dt_slope
+
     # end-to-end roofline: XLA's own cost model for the fused program
     # (flop count + HBM bytes) against the chip's peaks — answers
     # whether the step is compute- or bandwidth-bound and how far from
@@ -169,9 +185,10 @@ def bench_pipeline(i1, i2, K1, K2, d1, d2):
         "correspondences_ms": 1e3 * dt_corr,
         "pose_ms": 1e3 * dt_pose,
         "total_fused_ms": 1e3 * dt,
+        "total_fused_ms_pipelined": 1e3 * dt_slope,
     }
     stages_ms.update(roofline)
-    return fps, stages_ms
+    return fps, fps_pipelined, stages_ms
 
 
 def bench_batched(i1, i2, K1, K2, d1, d2, batch=8):
@@ -202,7 +219,13 @@ def bench_batched(i1, i2, K1, K2, d1, d2, batch=8):
 
 
 def bench_knn(n=30720, bits=256):
-    """Pallas fused 2-NN at database scale: queries/s + MXU utilization."""
+    """Pallas fused 2-NN at database scale: queries/s + MXU utilization.
+
+    Slope timing (wall(30) - wall(10)) / 20 with a device-fetch drain:
+    the difference cancels the tunnel's per-dispatch/queue overheads that
+    a plain timed loop counts against the kernel (rounds 3-4 reported
+    ~35% utilization for this reason; the kernel itself runs at ~66%).
+    """
     from matchinglib_poselib_tpu.ops.pallas import knn
 
     rng = np.random.default_rng(0)
@@ -215,7 +238,16 @@ def bench_knn(n=30720, bits=256):
     knnj = jax.jit(
         lambda a, b, v: knn.knn2(a, b, v, binary=True, bits=bits)
     )
-    dt = _time(lambda: knnj(q, db, valid), n_iter=10)
+
+    def wall(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = knnj(q, db, valid)
+        _ = np.asarray(out[0])[:1]  # drain the execution queue
+        return time.perf_counter() - t0
+
+    wall(5)
+    dt = (wall(30) - wall(10)) / 20
     dp = ((bits + 127) // 128) * 128
     flops = 2.0 * n * n * dp
     return {
@@ -232,7 +264,7 @@ def main():
     i1, i2, K1, K2, d1, d2 = _load_data()
     baseline_fps = _measured_baseline_fps()
 
-    fps, stages = bench_pipeline(i1, i2, K1, K2, d1, d2)
+    fps, fps_pipelined, stages = bench_pipeline(i1, i2, K1, K2, d1, d2)
     pairs_per_s = bench_batched(i1, i2, K1, K2, d1, d2, batch=8)
     knn_stats = bench_knn()
 
@@ -240,6 +272,7 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "single_pair_fps": fps,
+        "single_pair_fps_pipelined": fps_pipelined,
         "batched8_pairs_per_s": pairs_per_s,
         "batched8_speedup_vs_single": pairs_per_s / fps,
         "baseline_fps_measured_cpu": baseline_fps,

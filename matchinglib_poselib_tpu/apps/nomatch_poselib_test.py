@@ -68,6 +68,12 @@ CSV_COLUMNS = (
     + [
         "nrCorrs_GT", "inlRat_GT", "nrCorrs_estimated", "inlRat_estimated",
         "poolSize", "poseIsStable", "mostLikelyPose_stable", "ransac_agg",
+        # streaming state-machine counters (stereo_pose_refinement.cpp
+        # :943-948 skip escalation / :1025 reinitializeSystem)
+        "skipCount",
+        # Halign failure-code observability (pose_homography.cpp:200-266;
+        # 0 = alignment used, -1..-4 = fallback reason)
+        "halign_errCode",
         # UsacResults observability counters (USAC.h:18-60)
         "usac_modelsGenerated", "usac_modelsRejected", "usac_pointsVerified",
         "usac_loRefinements",
@@ -238,13 +244,21 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
         mask = np.asarray(m).astype(np.float32)
     row["filtering_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
 
-    zeros5 = jnp.zeros(5, jnp.float32)
+    # distortion-in-the-loop: frames may carry Oulu distortion
+    # coefficients (pose_helper.cpp:1169 Remove_LensDist preprocessing)
+    d1 = jnp.asarray(
+        frame.get("dist1", np.zeros(5)).ravel(), jnp.float32
+    )
+    d2 = jnp.asarray(
+        frame.get("dist2", np.zeros(5)).ravel(), jnp.float32
+    )
     if stereo_ref is not None:
         t0 = time.perf_counter()
         fr = stereo_ref.add_new_correspondences(pts1, pts2, mask, quality)
         row["stereoRefine_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
         R_est, t_est = np.asarray(fr.R), np.asarray(fr.t)
         row["state"] = fr.state
+        row["skipCount"] = int(fr.skip_count)
         row["poolSize"] = int(fr.pool_size)
         row["poseIsStable"] = int(bool(fr.pose_is_stable))
         row["mostLikelyPose_stable"] = int(bool(fr.most_likely_pose_stable))
@@ -275,7 +289,7 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
             jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(mask),
             jnp.asarray(quality),
             jnp.asarray(K1, jnp.float32), jnp.asarray(K2, jnp.float32),
-            zeros5, zeros5, pose_cfg, key,
+            d1, d2, pose_cfg, key,
         )
         jax.block_until_ready(pose.R)
         row["robEstimationAndRef_ms"] = round(
@@ -285,6 +299,8 @@ def evaluate_frame(frame, pose_cfg, stereo_ref, args, key, frame_idx,
         row["state"] = "single"
         row["nrCorrs_estimated"] = int(pose.n_inliers)
         row["inlRat_estimated"] = round(float(pose.inlier_ratio), 4)
+        if args.Halign:
+            row["halign_errCode"] = int(pose.halign_error_code)
         row["usac_modelsGenerated"] = int(pose.n_models_generated)
         row["usac_modelsRejected"] = int(pose.n_models_rejected)
         row["usac_pointsVerified"] = int(pose.n_points_verified)
@@ -384,6 +400,7 @@ def main(argv=None):
         first = load_frame(frames[0])
         stereo_ref = StereoRefine(
             first["K1"], first["K2"],
+            dist1=first.get("dist1"), dist2=first.get("dist2"),
             cfg=common.stereo_refine_config(args, pose_cfg, kneip_iba),
         )
 
@@ -408,6 +425,7 @@ def main(argv=None):
             first = load_frame(frames[0])
             warm_ref = StereoRefine(
                 first["K1"], first["K2"],
+                dist1=first.get("dist1"), dist2=first.get("dist2"),
                 cfg=common.stereo_refine_config(args, pose_cfg, kneip_iba),
             )
         evaluate_frame(

@@ -69,6 +69,10 @@ class PoseResult(NamedTuple):
     n_models_rejected: jax.Array = 0
     n_points_verified: jax.Array = 0
     n_lo_refinements: jax.Array = 0
+    # Halign observability (pose_homography.cpp:200-266): 0 = homography
+    # alignment succeeded (or Halign not requested), -1..-4 = the failure
+    # code that triggered the robust-E fallback (HalignResult.error_code)
+    halign_error_code: jax.Array = 0
 
 
 @functools.partial(
@@ -292,6 +296,7 @@ def estimate_pose(
         res = _R
         degen = None
         degen_flag = hres.is_rotation_only & halign_ok
+        halign_code = hres.error_code
     elif cfg.auto_th:
         # AutoThEpi (poselib-test --autoTH; pose_estim.cpp:82-300): the
         # inlier threshold is adapted from residual statistics between
@@ -396,6 +401,9 @@ def estimate_pose(
         n_models_rejected=getattr(res, "n_models_rejected", 0),
         n_points_verified=getattr(res, "n_points_verified", 0),
         n_lo_refinements=getattr(res, "n_lo_refinements", 0),
+        halign_error_code=(
+            halign_code if cfg.use_halign else jnp.asarray(0, jnp.int32)
+        ),
     )
 
 

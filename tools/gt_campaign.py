@@ -51,50 +51,87 @@ def _rot(axis, deg):
     return np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * (Kx @ Kx)
 
 
+def _distort(x: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """Forward Brown/Oulu distortion of normalized coords (the model
+    Remove_LensDist inverts, pose_helper.cpp:1169/1241)."""
+    k1, k2, p1, p2, k3 = dist
+    xx, yy = x[:, 0], x[:, 1]
+    r2 = xx * xx + yy * yy
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    dx = 2.0 * p1 * xx * yy + p2 * (r2 + 2.0 * xx * xx)
+    dy = p1 * (r2 + 2.0 * yy * yy) + 2.0 * p2 * xx * yy
+    return np.stack([xx * radial + dx, yy * radial + dy], axis=1)
+
+
 def synth_sequence(out_dir: pathlib.Path, inlier_ratio: float,
                    noise_px: float, seed: int, jitter_deg: float = 0.05,
-                   planar: bool = False):
+                   planar: bool = False, n_planes: int = 2,
+                   jump_at: int = -1, jump_deg: float = 0.0,
+                   dist_coeffs=None, far_frac: float = 0.0):
     """Stereo sequence with a near-constant GT pose + small per-frame jitter.
 
     Matches the reference's continuous-stereo scenario (stereo extrinsics
     drift slowly; StereoRefine aggregates). Outliers are uniform re-draws;
-    inliers carry Gaussian pixel noise. planar=True puts the structure on
-    two dominant planes — the regime Halign exists for
-    (pose_homography.cpp:127 estimatePoseHomographies).
+    inliers carry Gaussian pixel noise.
+
+    planar=True puts the structure on n_planes dominant planes — the
+    regime Halign exists for (pose_homography.cpp:127
+    estimatePoseHomographies; estimateMultHomographys peeling depth
+    exercised by n_planes=3).
+    jump_at/jump_deg: a persistent rig bump at that frame (the scenario
+    reinitializeSystem exists for, stereo_pose_refinement.cpp:1025).
+    dist_coeffs: nonzero lens distortion — observations are DISTORTED
+    pixels, exercising the Oulu undistortion end-to-end.
+    far_frac: fraction of points pushed beyond z=60 (past the
+    maxDist3DPtsZ=50 default — the maxRat3DPtsFar regime,
+    stereo_pose_refinement.h:177-178).
     """
     rng = np.random.default_rng(seed)
     out_dir.mkdir(parents=True, exist_ok=True)
     R0 = _rot([0.2, 1.0, 0.1], 4.0)
     t0 = np.array([-0.9, 0.05, 0.08])
     t0 /= np.linalg.norm(t0)
+    dist = (
+        np.zeros(5) if dist_coeffs is None
+        else np.asarray(dist_coeffs, np.float64)
+    )
 
     for f in range(N_FRAMES):
-        Rf = _rot(rng.normal(size=3), rng.uniform(0, jitter_deg)) @ R0
+        Rbase = R0
+        if jump_at >= 0 and f >= jump_at:
+            Rbase = _rot([1.0, -0.3, 0.5], jump_deg) @ R0
+        Rf = _rot(rng.normal(size=3), rng.uniform(0, jitter_deg)) @ Rbase
         tf = t0 + rng.normal(scale=1e-4, size=3)
         tf /= np.linalg.norm(tf)
 
         if planar:
-            # two slanted planes: z = z0 + a*x + b*y
-            half = N_CORRS // 2
+            # n_planes slanted planes: z = z0 + a*x + b*y
             xs = rng.uniform(-4, 4, N_CORRS)
             ys = rng.uniform(-3, 3, N_CORRS)
-            z = np.where(
-                np.arange(N_CORRS) < half,
-                6.0 + 0.25 * xs + 0.1 * ys,
-                11.0 - 0.2 * xs + 0.15 * ys,
-            )
+            params = [
+                (6.0, 0.25, 0.1), (11.0, -0.2, 0.15), (8.5, 0.05, -0.3),
+            ][:n_planes]
+            plane_of = np.arange(N_CORRS) * n_planes // N_CORRS
+            z = np.zeros(N_CORRS)
+            for pi, (z0, a, b) in enumerate(params):
+                m = plane_of == pi
+                z[m] = z0 + a * xs[m] + b * ys[m]
             X = np.stack([xs, ys, z], axis=1)
         else:
+            z = rng.uniform(4, 15, N_CORRS)
+            if far_frac > 0.0:
+                n_far = int(round(far_frac * N_CORRS))
+                z[:n_far] = rng.uniform(60, 200, n_far)
             X = np.stack([
-                rng.uniform(-4, 4, N_CORRS),
-                rng.uniform(-3, 3, N_CORRS),
-                rng.uniform(4, 15, N_CORRS),
+                rng.uniform(-4, 4, N_CORRS) * np.maximum(z / 15.0, 1.0),
+                rng.uniform(-3, 3, N_CORRS) * np.maximum(z / 15.0, 1.0),
+                z,
             ], axis=1)
         x1 = X / X[:, 2:3]
         X2 = X @ Rf.T + tf
         x2 = X2 / X2[:, 2:3]
-        p1 = (x1 @ KMAT.T)[:, :2]
-        p2 = (x2 @ KMAT.T)[:, :2]
+        p1 = (_distort(x1[:, :2], dist) @ KMAT[:2, :2].T) + KMAT[:2, 2]
+        p2 = (_distort(x2[:, :2], dist) @ KMAT[:2, :2].T) + KMAT[:2, 2]
         p1 += rng.normal(scale=noise_px, size=p1.shape)
         p2 += rng.normal(scale=noise_px, size=p2.shape)
         n_out = int(round((1.0 - inlier_ratio) * N_CORRS))
@@ -109,6 +146,7 @@ def synth_sequence(out_dir: pathlib.Path, inlier_ratio: float,
             out_dir / f"frame_{f:04d}.npz",
             pts1=p1.astype(np.float32), pts2=p2.astype(np.float32),
             R_GT=Rf, t_GT=tf, K1=KMAT, K2=KMAT, inlier_mask_GT=inl,
+            dist1=dist.astype(np.float32), dist2=dist.astype(np.float32),
         )
 
 
@@ -125,14 +163,15 @@ def run_config(name: str, seq_dir: pathlib.Path, extra_args: list[str]):
     return out_dir / "results.csv"
 
 
-def summarize(csv_path: pathlib.Path):
+def summarize(csv_path: pathlib.Path, jump_at: int = -1):
     rows = list(csv.DictReader(open(csv_path), delimiter=";"))
     def col(c):
         vals = [float(r[c]) for r in rows if r.get(c) not in ("", None)]
         return np.asarray(vals) if vals else np.asarray([np.nan])
     rd = np.abs(col("R_diffAll"))
     td = np.abs(col("t_angDiff_deg"))
-    return {
+    states = [r.get("state", "") for r in rows]
+    out = {
         "frames": len(rows),
         "R_diff_mean": float(np.nanmean(rd)),
         "R_diff_med": float(np.nanmedian(rd)),
@@ -140,7 +179,38 @@ def summarize(csv_path: pathlib.Path):
         "t_ang_mean": float(np.nanmean(td)),
         "t_ang_med": float(np.nanmedian(td)),
         "t_ang_p95": float(np.nanpercentile(td, 95)),
+        # streaming state-machine counters (skip/reinit observability)
+        "n_skipped": states.count("skipped"),
+        "n_reinit": states.count("reinit"),
+        "n_robust": states.count("robust"),
+        "max_skip": int(np.nanmax(col("skipCount"))) if any(
+            r.get("skipCount") not in ("", None) for r in rows
+        ) else 0,
     }
+    # Halign failure-code distribution (0 = alignment used)
+    codes = [r.get("halign_errCode") for r in rows]
+    codes = [int(float(c)) for c in codes if c not in ("", None)]
+    if codes:
+        out["halign_codes"] = {
+            c: codes.count(c) for c in sorted(set(codes))
+        }
+    if jump_at >= 0:
+        # recovery latency: frames after the rig bump until the estimate
+        # re-converges onto the post-jump pose (R_diffAll back under the
+        # pre-jump p95)
+        pre = rd[:jump_at]
+        th = float(np.nanpercentile(pre, 95)) if len(pre) else 0.5
+        lat = None
+        for k in range(jump_at, len(rd)):
+            if rd[k] <= max(th, 0.3):
+                lat = k - jump_at
+                break
+        out["recovery_frames"] = -1 if lat is None else lat
+        post = rd[jump_at + (lat if lat is not None else 0):]
+        out["post_recovery_R"] = (
+            float(np.nanmean(post)) if len(post) else float("nan")
+        )
+    return out
 
 
 def main():
