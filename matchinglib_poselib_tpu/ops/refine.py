@@ -135,9 +135,15 @@ def refine_essential_linear(
         # O(1) overlap with the target — ADVICE r4). The essential-
         # manifold projection is NOT applied per iteration — Sampson
         # scoring and the IRLS weights are well-defined for the raw DLT
-        # solution, and the single projection after the loop (below)
-        # lands the final model on the manifold; a per-iteration Jacobi
-        # projection is ~150 sequential scalar ops on an 8-deep chain.
+        # solution, and the single projection after the loop lands the
+        # final model on the manifold. That projection is SUPPORT-
+        # GUARDED below: on some real frames the unconstrained DLT
+        # drifts toward a fundamental-matrix solution whose projection
+        # moves E by several thresholds and collapses the inlier set
+        # (KITTI frame-31, round 5) — the guard then restores the
+        # projection of the STARTING model instead, and the caller's
+        # inlier-loss guard falls back to the (exactly essential)
+        # minimal-solver model.
         ns = smalllinalg.min_eigvec_spd(AtA, iterations=2, v0=ns_prev)
         En = ns.reshape(3, 3)
         E_new = T2t @ En @ T1  # denormalize
@@ -185,7 +191,17 @@ def refine_essential_linear(
         0, iters, body,
         (E0, inl_init, jnp.sum(inl_init).astype(jnp.int32), ns0),
     )
-    E = geo.closest_essential(E)
+    # support-guarded manifold projection: if projecting the raw DLT
+    # iterate collapses its support (the fundamental-drift failure — see
+    # _refit), project the STARTING model instead; E0 comes from the
+    # robust engine's minimal solver, which is exactly essential, so its
+    # projection is a no-op and its support survives.
+    E_proj = geo.closest_essential_fast(E)
+    err_proj = geo.sampson_error(E_proj, x1, x2)
+    n_proj = jnp.sum((err_proj < threshold_sq) & maskb).astype(jnp.int32)
+    inl_pre = (err0 < threshold_sq) & maskb
+    drifted = n_proj < jnp.sum(inl_pre).astype(jnp.int32) // 2
+    E = jnp.where(drifted, geo.closest_essential_fast(E0), E_proj)
     if cfg.solver == MinimalSolver.KNEIP:
         # Kneip rows of the reference's RefineAlg (pose_estim.h:67-77):
         # polish the IRLS result with the rotation eigensolver on the final

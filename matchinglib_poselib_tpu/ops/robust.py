@@ -458,7 +458,9 @@ def lo_refine_essential(
         w = w * inl.astype(w.dtype)
         Aw = A_rows * w[:, None]
         # warm-start the inverse iteration with the previous nullvector
-        # (guaranteed O(1) overlap with the target — ADVICE r4)
+        # (guaranteed O(1) overlap with the target — ADVICE r4). Raw DLT
+        # iterates (no per-iterate projection); the caller projects once
+        # with a support guard (see estimate_essential_robust).
         ns = smalllinalg.min_eigvec_spd(Aw.T @ Aw, iterations=2, v0=ns_prev)
         E_new = T2t @ ns.reshape(3, 3) @ T1
         nrm = jnp.sqrt(jnp.sum(E_new * E_new))
@@ -660,18 +662,29 @@ def estimate_essential_robust(
     res = ransac(family, x1, x2, mask, quality, cfg, key, threshold_sq,
                  prior_inlier_ratio=prior_inlier_ratio)
     if cfg.lo_refine:
+        res0 = res  # ransac winner: minimal-solver model, exactly essential
         res = lo_refine_essential(res, x1, x2, mask, cfg.lo_inner_iterations)
         # re-classify against the PROJECTED model so the returned mask and
         # counters agree with the returned model (the raw DLT iterate and
         # its manifold projection can disagree at the threshold edge —
-        # ADVICE r4)
+        # ADVICE r4). SUPPORT GUARD: on some real frames the raw-DLT LO
+        # chain drifts toward a fundamental-matrix solution whose
+        # projection moves E by several thresholds and collapses the
+        # inlier set (KITTI frame-31, round 5) — keep the LO outcome only
+        # if its PROJECTED support does not fall below the pre-LO support,
+        # else restore the ransac winner (whose mask is already honest).
         E_proj = geo.closest_essential(res.model)
         err_p = geo.sampson_error(E_proj, x1, x2)
         inl_p = (err_p < res.threshold) & mask.astype(bool)
+        n_p = jnp.sum(inl_p).astype(jnp.int32)
+        keep_lo = n_p >= res0.n_inliers
         res = res._replace(
-            model=E_proj,
-            inlier_mask=inl_p,
-            n_inliers=jnp.sum(inl_p).astype(jnp.int32),
+            model=jnp.where(keep_lo, E_proj, res0.model),
+            inlier_mask=jnp.where(keep_lo, inl_p, res0.inlier_mask),
+            n_inliers=jnp.where(keep_lo, n_p, res0.n_inliers),
+            n_lo_refinements=jnp.where(
+                keep_lo, res.n_lo_refinements, jnp.asarray(0, jnp.int32)
+            ),
         )
     if cfg.check_degeneracy:
         degen = analyze_degeneracy(

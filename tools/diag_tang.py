@@ -62,19 +62,32 @@ def cv_estimate(x1, x2, th_norm):
     return R, t
 
 
+_PAD = 2048
+
+
 def ours_estimate(x1, x2, th_norm, cfg, key):
-    """Our robust engine on pre-normalized coords (K=I, no distortion)."""
+    """Our robust engine on pre-normalized coords (K=I, no distortion).
+
+    Pads to a fixed slot count so every frame reuses ONE compiled
+    program (per-frame shapes would recompile estimate_pose ~200x).
+    """
     import jax
     import jax.numpy as jnp
 
     from matchinglib_poselib_tpu.models import pipeline
 
-    K = len(x1)
+    K = min(len(x1), _PAD)
+    x1p = np.zeros((_PAD, 2), np.float32)
+    x2p = np.zeros((_PAD, 2), np.float32)
+    x1p[:K] = x1[:K]
+    x2p[:K] = x2[:K]
+    mask = np.zeros(_PAD, np.float32)
+    mask[:K] = 1.0
     eye = jnp.eye(3, dtype=jnp.float32)
     z5 = jnp.zeros(5, jnp.float32)
     res = pipeline.estimate_pose(
-        jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
-        jnp.ones(K, jnp.float32), jnp.ones(K, jnp.float32),
+        jnp.asarray(x1p), jnp.asarray(x2p),
+        jnp.asarray(mask), jnp.asarray(mask),
         eye, eye, z5, z5, cfg, key,
     )
     return np.asarray(res.R, np.float64), np.asarray(res.t, np.float64)

@@ -65,6 +65,12 @@ def make_warp(kind: str, h: int, w: int) -> np.ndarray:
         M = np.diag([0.8, 0.8, 1.0])
     elif kind == "perspective":  # wall-style viewpoint change
         M = np.array([[1.0, 0.08, 0], [0.02, 0.97, 0], [1.2e-4, 2e-5, 1]])
+    elif kind == "strongperspective":
+        # extreme viewpoint change: large within-cell flow dispersion —
+        # the regime where the fixed validation threshold (0.3) and the
+        # AUTOTH-adapted one (match_statOptFlow.cpp:766-801) decide
+        # cells differently
+        M = np.array([[1.05, 0.22, 0], [0.09, 0.88, 0], [4.5e-4, 8e-5, 1]])
     else:
         raise ValueError(kind)
     return Ti @ M @ T
@@ -150,21 +156,33 @@ def main():
     rng = np.random.default_rng(7)
     rows = []
     for name, img1 in scenes:
-        for kind in ("rotate", "scale", "perspective"):
+        for kind in ("rotate", "scale", "perspective", "strongperspective"):
             H = make_warp(kind, *img1.shape)
             img2 = warp_image(img1, H)
-            # illumination change + noise: the regime where guided
-            # matching should beat plain ratio matching
-            img2 = np.clip(
-                img2 * 0.85 + 0.03
-                + rng.normal(scale=0.03, size=img2.shape), 0, 1
-            ).astype(np.float32)
+            if kind == "strongperspective":
+                # low-texture / low-inlier stress (VERDICT r4 item 7):
+                # heavy noise + contrast collapse drives the ratio-test
+                # inlier-ratio estimate into the 0.15-0.45 band where
+                # AUTOTH's validation threshold actually departs from
+                # the fixed 0.3 (filters.autoth_validation_th)
+                img2 = np.clip(
+                    img2 * 0.45 + 0.15
+                    + rng.normal(scale=0.07, size=img2.shape), 0, 1
+                ).astype(np.float32)
+            else:
+                # illumination change + noise: the regime where guided
+                # matching should beat plain ratio matching
+                img2 = np.clip(
+                    img2 * 0.85 + 0.03
+                    + rng.normal(scale=0.03, size=img2.shape), 0, 1
+                ).astype(np.float32)
             for mname, mcfg in matchers.items():
                 n, n_ok, prec = evaluate_pair(img1, img2, H, mcfg)
                 rows.append((name, kind, mname, n, n_ok, prec))
                 print(
-                    f"{name:5s} {kind:12s} {mname:22s} "
-                    f"n={n:4d} correct={n_ok:4d} precision={prec:.3f}"
+                    f"{name:5s} {kind:18s} {mname:22s} "
+                    f"n={n:4d} correct={n_ok:4d} precision={prec:.3f}",
+                    flush=True,
                 )
 
     # aggregate per matcher
@@ -192,7 +210,37 @@ def main():
         tot = sum(r[4] for r in sel)
         mp = float(np.mean([r[5] for r in sel])) if sel else 0.0
         lines.append(f"| {mname} | {tot} | {mp:.3f} |")
+    # AUTOTH-focused aggregate: the strongperspective rows are the
+    # low-inlier/strong-dispersion stress where the adapted validation
+    # threshold departs from the fixed 0.3 (VERDICT r4 item 7)
+    sp = [r for r in rows if r[1] == "strongperspective"]
     lines += [
+        "",
+        "## AUTOTH ablation (strongperspective stress rows)",
+        "",
+        "Extreme viewpoint change + contrast collapse + heavy noise: the",
+        "ratio-test inlier-ratio estimate falls into the 0.15-0.45 band",
+        "where autoth_validation_th departs from the fixed 0.3 and",
+        "within-cell flow dispersion sits either side of both thresholds",
+        "(match_statOptFlow.cpp:766-801).",
+        "",
+        "| matcher | total correct | mean precision |",
+        "|---|---|---|",
+    ]
+    autoth_delta = 0
+    for mname in matchers:
+        sel = [r for r in sp if r[2] == mname]
+        tot = sum(r[4] for r in sel)
+        mp = float(np.mean([r[5] for r in sel])) if sel else 0.0
+        lines.append(f"| {mname} | {tot} | {mp:.3f} |")
+        if mname == "GMbSOF":
+            autoth_delta += tot
+        if mname == "GMbSOF(no-autoth)":
+            autoth_delta -= tot
+    lines += [
+        "",
+        f"AUTOTH on-vs-off delta on the stress rows: "
+        f"{autoth_delta:+d} correct matches.",
         "",
         "## Default choices (data-driven)",
         "",
@@ -211,9 +259,11 @@ def main():
         "  masked reductions where extra seeds cost nothing, and the",
         "  restriction's only measured effect is a recall loss (aggregate",
         "  above). Documented divergence from the reference default.",
-        "- **AUTOTH stays ON**: it never hurts in this sweep and adapts",
-        "  the validation threshold to low-inlier regimes the fixed",
-        "  threshold misses (match_statOptFlow.cpp:766-801).",
+        "- **AUTOTH**: kept ON; its measured effect is confined to the",
+        "  stress rows above (the clean-scene rows are identical on/off,",
+        "  as the estimated inlier ratio saturates the 0.75 band there).",
+        "  See the ablation table for the sign and size of the delta at",
+        "  low inlier ratios.",
     ]
     (REPO / "GMBSOF_EVAL.md").write_text("\n".join(lines) + "\n")
     print("wrote", REPO / "GMBSOF_EVAL.md")

@@ -220,7 +220,26 @@ def main():
         "inl40": dict(inlier_ratio=0.4, noise_px=0.8, seed=33),
         "planar90": dict(inlier_ratio=0.9, noise_px=0.5, seed=44,
                          planar=True),
+        # VERDICT r4 item 5 scenarios:
+        # (a) persistent rig bump at frame 12 — the reinitializeSystem
+        #     regime (stereo_pose_refinement.cpp:1025); reports recovery
+        #     latency in frames
+        "jump60": dict(inlier_ratio=0.6, noise_px=0.5, seed=55,
+                       jump_at=12, jump_deg=1.5),
+        # (b) nonzero lens distortion — Oulu undistortion end-to-end
+        #     (pose_helper.cpp:1169)
+        "dist90": dict(inlier_ratio=0.9, noise_px=0.5, seed=66,
+                       dist_coeffs=[-0.25, 0.08, 1e-3, -5e-4, 0.0]),
+        # (c) far-point-dominated scene (70% beyond maxDist3DPtsZ=50 —
+        #     the maxRat3DPtsFar regime, stereo_pose_refinement.h:177)
+        "far90": dict(inlier_ratio=0.9, noise_px=0.5, seed=77,
+                      far_frac=0.7),
+        # (d) 3-plane scene — estimateMultHomographys peeling depth
+        #     (pose_homography.cpp:291)
+        "planar3_90": dict(inlier_ratio=0.9, noise_px=0.5, seed=88,
+                           planar=True, n_planes=3),
     }
+    jump_frames = {s: kw.get("jump_at", -1) for s, kw in scenarios.items()}
     seq_dirs = {}
     for sname, kw in scenarios.items():
         d = OUT / "_sequences" / sname
@@ -244,25 +263,30 @@ def main():
                    "--accumCorrs", "4"],
     }
 
+    # scenario -> configs to run there (the low-inlier scenarios stress
+    # the robust core; the planar scenarios exist to test Halign in its
+    # regime; the r5 scenarios target the streaming state machine, the
+    # undistortion path and the far-point handling)
+    plan = {
+        "inl90": list(configs),
+        "inl60": ["usac_refine", "usac_refine_ba", "ransac", "stereoref"],
+        "inl40": ["usac_refine", "usac_refine_ba", "ransac", "stereoref"],
+        "planar90": ["halign", "usac_refine"],
+        "jump60": ["stereoref", "usac_refine"],
+        "dist90": ["usac_refine", "stereoref"],
+        "far90": ["usac_refine", "stereoref"],
+        "planar3_90": ["halign", "usac_refine"],
+    }
     results = {}
     for sname, sdir in seq_dirs.items():
-        for cname, cargs in configs.items():
-            # the low-inlier scenarios stress the robust core; run the
-            # full menu only on inl90, the robust subset elsewhere; the
-            # planar scenario exists to test Halign in its regime
-            if sname == "planar90" and cname not in ("halign",
-                                                     "usac_refine"):
-                continue
-            if sname not in ("inl90", "planar90") and cname in (
-                "halign", "autoth", "accum4", "lmeds_refine"
-            ):
-                continue
+        for cname in plan[sname]:
+            cargs = configs[cname]
             tag = f"{sname}_{cname}"
             csv_path = OUT / tag / "results.csv"
             if not csv_path.exists():  # idempotent resume
                 print(f"== {tag}")
                 csv_path = run_config(tag, sdir, cargs)
-            results[tag] = summarize(csv_path)
+            results[tag] = summarize(csv_path, jump_at=jump_frames[sname])
 
     lines = [
         "# GT evaluation campaign (noMatch_poselib-test)",
@@ -307,6 +331,56 @@ def main():
             f"| {s['t_ang_mean']:.3f} / {s['t_ang_med']:.3f} / "
             f"{s['t_ang_p95']:.3f} |"
         )
+
+    lines += [
+        "",
+        "## Streaming state-machine counters",
+        "",
+        "Per-config skip/reinit observability"
+        " (stereo_pose_refinement.cpp:943-948, :1025) and — for the",
+        "rig-bump sequence — recovery latency: frames from the bump at",
+        "frame 12 (+1.5 deg persistent) until R_diffAll re-enters the",
+        "pre-jump p95 band. The reference's escalation budget allows",
+        "maxSkipPairs+2 frames before a forced reinit.",
+        "",
+        "| config | skipped | reinit | robust re-est | max skipCount |"
+        " recovery (frames) | post-recovery R_diff |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for tag, s in sorted(results.items()):
+        if "stereoref" not in tag:
+            continue
+        rec = s.get("recovery_frames")
+        rec_s = (
+            "-" if rec is None else ("NOT RECOVERED" if rec < 0 else str(rec))
+        )
+        post = s.get("post_recovery_R")
+        post_s = "-" if post is None else f"{post:.3f}"
+        lines.append(
+            f"| {tag} | {s['n_skipped']} | {s['n_reinit']} "
+            f"| {s['n_robust']} | {s['max_skip']} | {rec_s} | {post_s} |"
+        )
+
+    lines += [
+        "",
+        "## Halign failure-code distribution",
+        "",
+        "HalignResult.error_code per frame (pose_homography.cpp:200-266):",
+        "0 = homography alignment produced the pose; -1 = not enough",
+        "plane support; -2 = plane strength below 0.5 (scene not",
+        "plane-dominated); -3/-4 = degenerate decomposition. Nonzero",
+        "codes trigger the robust-E fallback inside the same jitted",
+        "step (models/pipeline.py lax.cond).",
+        "",
+        "| config | code counts (code: frames) |",
+        "|---|---|",
+    ]
+    for tag, s in sorted(results.items()):
+        if "halign_codes" not in s:
+            continue
+        cc = ", ".join(f"{k}: {v}" for k, v in s["halign_codes"].items())
+        lines.append(f"| {tag} | {cc} |")
+
     (REPO / "GT_CAMPAIGN.md").write_text("\n".join(lines) + "\n")
     print("wrote", REPO / "GT_CAMPAIGN.md")
 
