@@ -151,18 +151,47 @@ def estimate_multiple_homographies(
     """
     fam = robust.homography_family()
     remaining = mask.astype(bool)
+    # the reference extracts planes at th_mult_base = 1.5x the pose
+    # threshold (pose_homography.cpp:313, applied by default; varTh may
+    # grow it further toward 6x): the one-sided transfer error carries
+    # both endpoints' noise, so plane membership needs the looser band.
+    # Plane strengths are scaled back by th/actual_th = 1/1.5 (:354).
+    th_h = 2.25 * jnp.asarray(threshold_sq, x1.dtype)
     Hs, masks, valids = [], [], []
     for r in range(cfg.max_planes):
         key, sub = jax.random.split(key)
         res = robust.ransac(
             fam, x1, x2, remaining, quality, robust_cfg, sub,
-            threshold_sq=threshold_sq,
+            threshold_sq=th_h,
         )
-        ok = (res.n_inliers >= cfg.min_plane_inliers) & (
+        H = res.model
+        inl = res.inlier_mask
+        n_inl = res.n_inliers
+        # inlier re-fit (the reference LM-refines every extracted H,
+        # refineHomography pose_homography.cpp:825): a minimal 4-point
+        # H carries enough model error across the plane's extent to
+        # miss ~30% of its members, which fragments one plane over
+        # several peeling rounds and mis-fires the plane-strength check
+        # downstream. Two all-inlier DLT rounds recover the capture;
+        # each is kept only if it does not lose support.
+        for _ in range(2):
+            H2, ok2 = solvers.solve_homography(
+                x1, x2, mask=inl.astype(x1.dtype)
+            )
+            err2 = solvers.homography_transfer_error(
+                H2[None], x1[None], x2[None]
+            )[0]
+            inl2 = (err2 < th_h) & remaining
+            n2 = jnp.sum(inl2).astype(jnp.int32)
+            better = ok2 & (n2 >= n_inl)
+            H = jnp.where(better, H2, H)
+            inl = jnp.where(better, inl2, inl)
+            n_inl = jnp.where(better, n2, n_inl)
+        ok = (n_inl >= cfg.min_plane_inliers) & (
             jnp.sum(remaining.astype(jnp.int32)) >= fam.sample_size * 2
         )
-        plane_mask = res.inlier_mask & remaining & ok
-        Hs.append(jnp.where(ok, res.model, jnp.eye(3, dtype=x1.dtype)))
+        plane_mask = inl & remaining & ok
+        Hs.append(jnp.where(ok, H, jnp.eye(3, dtype=x1.dtype)))
         masks.append(plane_mask)
         valids.append(ok)
         remaining = remaining & ~plane_mask
@@ -237,11 +266,14 @@ def estimate_pose_halign(
 
     # failure detection (reference return codes, pose_homography.cpp:
     # 200 -1 / 243 -2 / 246 -3 / 266 -4). Plane strength is the
-    # reference's th*n_inl/(actual_th*n_corrs) (:286) — our threshold is
-    # fixed, so th/actual_th = 1 and strength = plane inlier fraction.
+    # reference's th*n_inl/(actual_th*n_corrs) (:354) — the planes are
+    # extracted at actual_th = 1.5*th (th_mult_base), so the fraction is
+    # scaled by 1/1.5.
     n_planes = jnp.sum(plane_valid.astype(jnp.int32))
     n_corrs = jnp.maximum(jnp.sum(maskb.astype(x1.dtype)), 1.0)
-    strengths = jnp.sum(plane_masks.astype(x1.dtype), axis=1) / n_corrs
+    strengths = (
+        jnp.sum(plane_masks.astype(x1.dtype), axis=1) / n_corrs / 1.5
+    )
     strengths = jnp.where(plane_valid, strengths, 0.0)
     str_sum = jnp.sum(jnp.where(strengths > 0.1, strengths, 0.0))
     pose_finite = jnp.all(jnp.isfinite(Rb)) & jnp.all(jnp.isfinite(tb))

@@ -306,6 +306,17 @@ def ransac(
         )
         if not cfg.prosac or quality is None:
             pool = jnp.full((B,), 1, jnp.int32) * jnp.maximum(n_valid, k)
+        else:
+            # half of every batch samples the FULL valid pool (plain
+            # uniform RANSAC rows): the adaptive confidence stop assumes
+            # independent full-population draws, and a biased quality
+            # prefix can otherwise certify an early stop on a coherent
+            # WRONG structure (KITTI frame 7 key 7: the 63-match prefix
+            # yields a 341-inlier model and the loop stopped before ever
+            # sampling the 620-inlier model outside the prefix). PROSAC
+            # keeps its fast-convergence half; the uniform half restores
+            # the stop criterion's evidence basis.
+            pool = pool.at[B // 2:].set(jnp.maximum(n_valid, k))
         idx = sample_without_replacement(key, pool, k, N)  # (B, k) in pool space
         idx = order[idx]  # map to actual correspondence indices
         s1 = x1[idx]  # (B, k, 2)

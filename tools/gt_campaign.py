@@ -238,6 +238,14 @@ def main():
         #     (pose_homography.cpp:291)
         "planar3_90": dict(inlier_ratio=0.9, noise_px=0.5, seed=88,
                            planar=True, n_planes=3),
+        # (e) low-noise planar scene: the regime where the reference's
+        #     plane-strength gate ACCEPTS (>0.5) and the alignment pose
+        #     is used (code 0) — at 0.5 px noise vs the 0.8 px threshold
+        #     the th*n/(1.5th*N) strength metric is honestly below 0.5
+        #     and Halign falls back (code -2), so both sides of the
+        #     detector appear in the code table below
+        "planar90_ln": dict(inlier_ratio=0.9, noise_px=0.3, seed=99,
+                            planar=True),
     }
     jump_frames = {s: kw.get("jump_at", -1) for s, kw in scenarios.items()}
     seq_dirs = {}
@@ -276,6 +284,7 @@ def main():
         "dist90": ["usac_refine", "stereoref"],
         "far90": ["usac_refine", "stereoref"],
         "planar3_90": ["halign", "usac_refine"],
+        "planar90_ln": ["halign", "usac_refine"],
     }
     results = {}
     for sname, sdir in seq_dirs.items():
