@@ -154,9 +154,15 @@ def estimate_multiple_homographies(
     # the reference extracts planes at th_mult_base = 1.5x the pose
     # threshold (pose_homography.cpp:313, applied by default; varTh may
     # grow it further toward 6x): the one-sided transfer error carries
-    # both endpoints' noise, so plane membership needs the looser band.
-    # Plane strengths are scaled back by th/actual_th = 1/1.5 (:354).
-    th_h = 2.25 * jnp.asarray(threshold_sq, x1.dtype)
+    # both endpoints' noise, so plane EXTRACTION needs the looser band.
+    # Plane MEMBERSHIP (what a plane claims away from later peeling
+    # rounds, and what its strength counts) stays at the tight 1.0x
+    # threshold — a looser claim lets a compromise H swallow points of
+    # other planes, which both starves subsequent rounds and inflates
+    # strengths; the reference normalizes the same way through its
+    # th*n_inl/(actual_th*N) formula (:354).
+    th_t = jnp.asarray(threshold_sq, x1.dtype)
+    th_h = 2.25 * th_t
     Hs, masks, valids = [], [], []
     for r in range(cfg.max_planes):
         key, sub = jax.random.split(key)
@@ -187,10 +193,16 @@ def estimate_multiple_homographies(
             H = jnp.where(better, H2, H)
             inl = jnp.where(better, inl2, inl)
             n_inl = jnp.where(better, n2, n_inl)
-        ok = (n_inl >= cfg.min_plane_inliers) & (
+        # tight membership for peeling and strength accounting
+        err_t = solvers.homography_transfer_error(
+            H[None], x1[None], x2[None]
+        )[0]
+        inl_t = (err_t < th_t) & remaining
+        n_t = jnp.sum(inl_t).astype(jnp.int32)
+        ok = (n_t >= cfg.min_plane_inliers) & (
             jnp.sum(remaining.astype(jnp.int32)) >= fam.sample_size * 2
         )
-        plane_mask = inl & remaining & ok
+        plane_mask = inl_t & ok
         Hs.append(jnp.where(ok, H, jnp.eye(3, dtype=x1.dtype)))
         masks.append(plane_mask)
         valids.append(ok)
@@ -266,14 +278,11 @@ def estimate_pose_halign(
 
     # failure detection (reference return codes, pose_homography.cpp:
     # 200 -1 / 243 -2 / 246 -3 / 266 -4). Plane strength is the
-    # reference's th*n_inl/(actual_th*n_corrs) (:354) — the planes are
-    # extracted at actual_th = 1.5*th (th_mult_base), so the fraction is
-    # scaled by 1/1.5.
+    # reference's th*n_inl/(actual_th*n_corrs) (:354); membership is
+    # counted at the tight 1.0x threshold, so th/actual_th = 1.
     n_planes = jnp.sum(plane_valid.astype(jnp.int32))
     n_corrs = jnp.maximum(jnp.sum(maskb.astype(x1.dtype)), 1.0)
-    strengths = (
-        jnp.sum(plane_masks.astype(x1.dtype), axis=1) / n_corrs / 1.5
-    )
+    strengths = jnp.sum(plane_masks.astype(x1.dtype), axis=1) / n_corrs
     strengths = jnp.where(plane_valid, strengths, 0.0)
     str_sum = jnp.sum(jnp.where(strengths > 0.1, strengths, 0.0))
     pose_finite = jnp.all(jnp.isfinite(Rb)) & jnp.all(jnp.isfinite(tb))

@@ -58,11 +58,17 @@ def _pixel_correspondences(seed=3, n=320, noise_px=0.4, outlier_frac=0.25,
     if planar:
         # plane-dominated scene: the reference's Halign path fails on general
         # scenes (estimatePoseHomographies returns nonzero; poselib-test
-        # main.cpp:1626 skips the pair), so the parity test uses two planes
+        # main.cpp:1626 skips the pair), so the parity test uses two planes.
+        # Both planes must actually be REPRESENTED: a near-single-plane
+        # scene sits on the homography twofold-ambiguity manifold where no
+        # estimator can pick the right (R, t) branch from the data (the
+        # round-4 fixture truncated plane B to ~6% of the points and the
+        # test passed only by which basin the fallback happened to hit)
         x1a, x2a = _planar_points(rng, R, t, [0.05, 0.05, 1.0], 6.0, n)
-        x1b, x2b = _planar_points(rng, R, t, [0.5, 0.0, 0.9], 9.0, n // 2)
-        x1 = np.concatenate([x1a, x1b])[:n]
-        x2 = np.concatenate([x2a, x2b])[:n]
+        x1b, x2b = _planar_points(rng, R, t, [0.5, 0.0, 0.9], 9.0, n)
+        na = 2 * n // 3
+        x1 = np.concatenate([x1a[:na], x1b[:n - na]])
+        x2 = np.concatenate([x2a[:na], x2b[:n - na]])
         n = x1.shape[0]
         x1 = x1 + rng.normal(scale=noise_px / F, size=x1.shape)
         x2 = x2 + rng.normal(scale=noise_px / F, size=x2.shape)

@@ -308,12 +308,22 @@ def main():
         "with the reference's full column set live in eval/gt_campaign/.",
         "Generated by tools/gt_campaign.py.",
         "",
-        "Halign (multi-plane homography alignment) is evaluated on BOTH a",
-        "general 3D scene (inl90, where the reference's plane-based path",
-        "degrades by design — since round 4 it detects the failure",
-        "(error codes -1/-2, pose_homography.cpp:200-266) and falls back",
-        "to the robust-E menu) and a two-plane scene (planar90, its",
-        "regime).",
+        "Round-5 scenario additions (VERDICT r4 item 5): jump60 (a",
+        "persistent +1.5 deg rig bump at frame 12 — the reinitializeSystem",
+        "regime, with recovery latency reported below), dist90 (nonzero",
+        "lens distortion, exercising the Oulu undistortion end-to-end),",
+        "far90 (70% of points beyond maxDist3DPtsZ=50 — the maxRat3DPtsFar",
+        "regime), planar3_90 (3-plane peeling depth) and planar90_ln",
+        "(low-noise planar — the regime where Halign's plane-strength gate",
+        "accepts and the alignment pose is actually used).",
+        "",
+        "Halign (multi-plane homography alignment) is evaluated on a",
+        "general 3D scene (inl90, where the plane-based path degrades by",
+        "design and the failure codes -1/-2 route to the robust-E",
+        "fallback, pose_homography.cpp:200-266), on 2- and 3-plane scenes",
+        "at 0.5 px noise (honestly borderline for the reference's",
+        "th*n/(1.5th*N) strength metric at th=0.8 px) and on the",
+        "low-noise planar scene where alignment engages (code 0).",
         "",
         "Reading the stereoref rows: the GT applies 0.05 deg/frame",
         "rotation jitter around a fixed rig pose and scores each frame",
