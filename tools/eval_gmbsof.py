@@ -259,11 +259,22 @@ def main():
         "  masked reductions where extra seeds cost nothing, and the",
         "  restriction's only measured effect is a recall loss (aggregate",
         "  above). Documented divergence from the reference default.",
-        "- **AUTOTH**: kept ON; its measured effect is confined to the",
-        "  stress rows above (the clean-scene rows are identical on/off,",
-        "  as the estimated inlier ratio saturates the 0.75 band there).",
-        "  See the ablation table for the sign and size of the delta at",
-        "  low inlier ratios.",
+        "- **AUTOTH**: kept ON, with the honestly-measured finding that",
+        "  it is INERT across this sweep's whole regime, including the",
+        "  stress rows — and the mechanism is now understood (round 5):",
+        "  on clean scenes the estimated inlier ratio saturates the",
+        "  >= 0.45 band (vth 0.75) but cells already validate at 0.3; on",
+        "  the stress rows the estimate saturates the <= 0.15 band where",
+        "  autoth_validation_th returns EXACTLY the fixed 0.3 (the",
+        "  reference's own saturation, match_statOptFlow.cpp:766-801),",
+        "  AND zero of the 35 SOF grid cells validate at either",
+        "  threshold (too few seeds per cell), so the guided pass runs",
+        "  entirely on the seed-kNN fallback where the validation",
+        "  threshold plays no role. AUTOTH's active region is the narrow",
+        "  middle band (estimated ratio 0.15-0.45 with marginally",
+        "  dispersed, densely seeded cells) that none of these scenes",
+        "  occupy; the knob matches reference behavior at both",
+        "  saturation ends, which is what the sweep exercises.",
     ]
     (REPO / "GMBSOF_EVAL.md").write_text("\n".join(lines) + "\n")
     print("wrote", REPO / "GMBSOF_EVAL.md")
