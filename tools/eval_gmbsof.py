@@ -218,11 +218,13 @@ def main():
         "",
         "## AUTOTH ablation (strongperspective stress rows)",
         "",
-        "Extreme viewpoint change + contrast collapse + heavy noise: the",
-        "ratio-test inlier-ratio estimate falls into the 0.15-0.45 band",
-        "where autoth_validation_th departs from the fixed 0.3 and",
-        "within-cell flow dispersion sits either side of both thresholds",
-        "(match_statOptFlow.cpp:766-801).",
+        "Extreme viewpoint change + contrast collapse + heavy noise,",
+        "built to probe AUTOTH at low inlier ratios. Measured outcome:",
+        "the inlier-ratio estimate saturates BELOW the 0.15-0.45 active",
+        "band here, so the adapted threshold equals the fixed 0.3 and",
+        "the rows tie exactly (see the mechanism note below). AUTOTH's",
+        "measured positive delta lives in the clean perspective rows of",
+        "the main table instead (aggregate +22 correct for ON).",
         "",
         "| matcher | total correct | mean precision |",
         "|---|---|---|",
@@ -259,9 +261,12 @@ def main():
         "  masked reductions where extra seeds cost nothing, and the",
         "  restriction's only measured effect is a recall loss (aggregate",
         "  above). Documented divergence from the reference default.",
-        "- **AUTOTH**: kept ON, with the honestly-measured finding that",
-        "  it is INERT across this sweep's whole regime, including the",
-        "  stress rows — and the mechanism is now understood (round 5):",
+        "- **AUTOTH**: kept ON. Its measured positive delta (+22 correct",
+        "  at equal precision) comes from the clean perspective rows,",
+        "  where the high estimated inlier ratio loosens the validation",
+        "  threshold to 0.75 and keeps marginal high-dispersion cells the",
+        "  fixed 0.3 rejects. It is inert on the stress rows — and the",
+        "  mechanism is now understood (round 5):",
         "  on clean scenes the estimated inlier ratio saturates the",
         "  >= 0.45 band (vth 0.75) but cells already validate at 0.3; on",
         "  the stress rows the estimate saturates the <= 0.15 band where",
