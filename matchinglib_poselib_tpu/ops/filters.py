@@ -170,6 +170,80 @@ def _partition_layout(cell: jax.Array, valid: jax.Array, C: int):
     return ckey, counts, starts
 
 
+def _partition_median_batch(
+    vals: jax.Array, ckey: jax.Array, counts: jax.Array, starts: jax.Array,
+    C: int,
+):
+    """Per-cell medians of B independent value arrays in ONE batched sort.
+
+    vals: (B, N); the (ckey, value) rows sort independently along the
+    last axis (lax.sort treats leading dims as batch), so B medians cost
+    one sort dispatch instead of B sequential ones — sof_statistics's
+    partition-median chain was ~10 sequential sorts on the fused step's
+    critical path. Same math as _partition_median per row.
+    """
+    B, N = vals.shape
+    keys = jnp.broadcast_to(ckey[None], (B, N))
+    _, vs = jax.lax.sort((keys, vals), dimension=-1, num_keys=2)
+    n = counts
+    lo = jnp.clip(starts + jnp.maximum(n - 1, 0) // 2, 0, N - 1)
+    hi = jnp.clip(
+        starts + jnp.maximum(n - 1, 0) // 2 + jnp.maximum(n - 1, 0) % 2,
+        0, N - 1,
+    )
+    med = 0.5 * (
+        jnp.take_along_axis(vs, jnp.broadcast_to(lo[None], (B, C)), axis=1)
+        + jnp.take_along_axis(vs, jnp.broadcast_to(hi[None], (B, C)), axis=1)
+    )
+    return jnp.where(n[None] > 0, med, jnp.zeros_like(med))
+
+
+def _partition_moments_batch(
+    vals: jax.Array, cell: jax.Array, valid: jax.Array, C: int,
+    trim: bool = True,
+):
+    """Batched per-cell (median, mean, std) over a shared partition.
+
+    vals: (B, N) independent value arrays over the SAME (cell, valid)
+    partition. Identical statistics to _partition_moments per row, with
+    the B median sorts and B trim sorts batched into one each.
+    """
+    B, N = vals.shape
+    ckey, counts, starts = _partition_layout(cell, valid, C)
+    med = _partition_median_batch(vals, ckey, counts, starts, C)  # (B, C)
+    cell_c = jnp.clip(cell, 0, C - 1)
+    keep = jnp.broadcast_to(valid[None], (B, N))
+    if trim:
+        dev = jnp.abs(vals - jnp.take_along_axis(
+            med, jnp.broadcast_to(cell_c[None], (B, N)), axis=1))
+        half = _partition_median_batch(dev, ckey, counts, starts, C)
+        keep = keep & (
+            dev <= jnp.take_along_axis(
+                half, jnp.broadcast_to(cell_c[None], (B, N)), axis=1
+            ) + 1e-6
+        )
+    kf = keep.astype(jnp.float32)
+    # per-row segment sums via row-offset segment ids over the flat array
+    seg = jnp.where(keep, cell[None], C).astype(jnp.int32)
+    seg = seg + (C + 1) * jnp.arange(B, dtype=jnp.int32)[:, None]
+    n = jax.ops.segment_sum(
+        kf.reshape(-1), seg.reshape(-1), num_segments=B * (C + 1)
+    ).reshape(B, C + 1)[:, :C]
+    n = jnp.maximum(n, 1.0)
+    s1 = jax.ops.segment_sum(
+        (vals * kf).reshape(-1), seg.reshape(-1), num_segments=B * (C + 1)
+    ).reshape(B, C + 1)[:, :C]
+    mean = s1 / n
+    dv = vals - jnp.take_along_axis(
+        mean, jnp.broadcast_to(cell_c[None], (B, N)), axis=1
+    )
+    s2 = jax.ops.segment_sum(
+        (dv * dv * kf).reshape(-1), seg.reshape(-1),
+        num_segments=B * (C + 1),
+    ).reshape(B, C + 1)[:, :C]
+    return med, mean, jnp.sqrt(s2 / n)
+
+
 def _partition_moments(
     vals: jax.Array, cell: jax.Array, valid: jax.Array, C: int,
     trim: bool = True,
@@ -373,8 +447,19 @@ def sof_statistics(
     mag = jnp.linalg.norm(flow, axis=-1)  # (N,)
     ang = jnp.mod(jnp.arctan2(flow[:, 1], flow[:, 0]), _TWO_PI)  # (N,)
 
-    d_med, d_mean, d_std = _partition_moments(mag, cell, maskb, C)
-    a_med, a_mean, a_std = _partition_circ_moments(ang, cell, maskb, C)
+    # distance stats + both circular branch-cut hypotheses in ONE
+    # batched partition pass (3 value rows, shared partition): the
+    # sequential version put ~6 full sorts on the critical path here
+    a1 = ang
+    a2 = jnp.mod(ang + jnp.pi, _TWO_PI)
+    med3, mean3, std3 = _partition_moments_batch(
+        jnp.stack([mag, a1, a2]), cell, maskb, C
+    )
+    d_med, d_mean, d_std = med3[0], mean3[0], std3[0]
+    pick1 = std3[1] <= std3[2]
+    a_med = jnp.where(pick1, med3[1], jnp.mod(med3[2] - jnp.pi, _TWO_PI))
+    a_mean = jnp.where(pick1, mean3[1], jnp.mod(mean3[2] - jnp.pi, _TWO_PI))
+    a_std = jnp.where(pick1, std3[1], std3[2])
 
     # dual validation (distance + angle), per cell
     d_diff = jnp.abs(d_mean - d_med)
@@ -414,14 +499,15 @@ def sof_statistics(
     ckey2, counts2, starts2 = _partition_layout(cell, valid2, C)
     n2 = counts2.astype(jnp.float32)
 
-    def cellwise_median(vals):  # vals (N,) -> (C,)
-        return _partition_median(vals, ckey2, counts2, starts2, C)
-
-    med_dx = cellwise_median(flow[:, 0])
-    med_dy = cellwise_median(flow[:, 1])
+    # (dx, dy, mag) medians share one batched sort; the MAD needs the
+    # medians first (dependent) and runs as the second round
+    med_b = _partition_median_batch(
+        jnp.stack([flow[:, 0], flow[:, 1], mag]), ckey2, counts2, starts2, C
+    )
+    med_dx, med_dy, med_mag2 = med_b[0], med_b[1], med_b[2]
     cmed = jnp.stack([med_dx, med_dy], axis=-1)  # (C, 2)
     dev_pt = jnp.linalg.norm(flow - cmed[cell], axis=-1)  # (N,)
-    mad = cellwise_median(dev_pt)
+    mad = _partition_median(dev_pt, ckey2, counts2, starts2, C)
     sigma = 1.4826 * mad  # robust sigma from the MAD
     # dispersion bound on the surviving members: a cell with a real
     # dominant flow has sigma far below the flow magnitude; uniform-random
@@ -429,7 +515,6 @@ def sof_statistics(
     # reference reaches the same end through its huge stdMult*sigma search
     # radius, which the ratio test then empties — here the cell is marked
     # invalid so the field fill interpolates over it instead)
-    med_mag2 = cellwise_median(mag)
     sigma_ok = sigma <= vth * jnp.maximum(med_mag2, 80.0)
     valid = valid & sigma_ok & (n2 >= jnp.minimum(min_per_cell, 2.0))
 
